@@ -38,16 +38,22 @@ def candidate_pairs_from_buckets(
     digests: np.ndarray,
     max_bucket: int,
     max_refined: int,
+    sort_key: list[str],
 ) -> tuple[set[tuple[int, int]], dict[str, int]]:
     """Shared candidate-pair policy (oracle AND engine call this).
+
+    ``sort_key[i]`` is the stable document id for member index ``i`` — ALL
+    ordering decisions use it, never raw indices, so the emitted id-level
+    pair set is independent of row order within a partition/bucket (the
+    determinism requirement of SURVEY.md §7).
 
     Normal bucket (≤ max_bucket): all pairs.
     Hot bucket: refine by full-signature digest —
       * identical-digest members are near-certain duplicates → star pairs to
-        the subgroup minimum (O(n), connectivity-preserving);
+        the subgroup minimum-id member (O(n), connectivity-preserving);
       * one representative per subgroup; all-pairs among the first
-        ``max_refined`` sorted representatives, the remainder chained to the
-        last kept representative (connectivity preserved, quadratic cost
+        ``max_refined`` id-sorted representatives, the remainder chained to
+        the last kept representative (connectivity preserved, quadratic cost
         bounded; drops are counted, not silent).
     """
     pairs: set[tuple[int, int]] = set()
@@ -56,7 +62,7 @@ def candidate_pairs_from_buckets(
         if len(members) < 2:
             continue
         stats["buckets"] += 1
-        ms = sorted(members)
+        ms = sorted(members, key=lambda m: sort_key[m])
         if len(ms) <= max_bucket:
             for i in range(len(ms)):
                 for j in range(i + 1, len(ms)):
@@ -64,15 +70,14 @@ def candidate_pairs_from_buckets(
             continue
         stats["hot_buckets"] += 1
         sub: dict[int, list[int]] = defaultdict(list)
-        for m in ms:
+        for m in ms:  # ms already id-sorted → subgroups id-sorted
             sub[int(digests[m])].append(m)
         reps = []
-        for grp in sub.values():
-            g = sorted(grp)
+        for g in sub.values():
             reps.append(g[0])
             for other in g[1:]:
                 pairs.add((g[0], other))
-        reps.sort()
+        reps.sort(key=lambda m: sort_key[m])
         kept, rest = reps[:max_refined], reps[max_refined:]
         stats["capped_reps"] += len(rest)
         for i in range(len(kept)):
@@ -81,7 +86,7 @@ def candidate_pairs_from_buckets(
         anchor = kept[-1] if kept else None
         for r in rest:  # chain: keeps the bucket connected without N²
             if anchor is not None:
-                pairs.add((min(anchor, r), max(anchor, r)))
+                pairs.add((anchor, r))
             anchor = r
     return pairs, stats
 
@@ -190,7 +195,7 @@ def oracle_match(
         for bkey in blocks[i]:
             buckets[bkey].append(i)
     pairs, _ = candidate_pairs_from_buckets(
-        buckets, digests, cfg.max_bucket, cfg.max_refined
+        buckets, digests, cfg.max_bucket, cfg.max_refined, ids
     )
 
     # per-doc field parses (computed above for blocking) are amortized across

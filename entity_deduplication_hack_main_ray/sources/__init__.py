@@ -1,0 +1,1 @@
+"""Dataset sources/sinks (SURVEY.md §2.1)."""
