@@ -207,7 +207,14 @@ def generate_corpus(
                 drec, field = _apply_variation(rng, rec, var)
                 dpix, dfmt, dq = pixels, fmt, quality
                 if var == "reencode":
-                    dfmt, dq = "jpeg", int(rng.choice([85, 95]))
+                    # re-encode the *published* image (decode → encode), as a
+                    # scraper would: only ONE extra quantization error, so
+                    # pairwise decoded-pixel PSNR stays ≥ 40 dB
+                    if fmt == "png":
+                        dpix = pixels
+                    else:
+                        dpix = decode_image(encode_fake_jpeg(pixels, quality), "jpeg")
+                    dfmt, dq = "jpeg", 95
                 elif var == "substring":
                     # caption strictly contained in the original; image cropped
                     drec = {k: v for k, v in drec.items() if k in

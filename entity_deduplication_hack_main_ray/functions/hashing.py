@@ -71,38 +71,41 @@ def shingle_hashes(text: str, k: int, seed: int) -> np.ndarray:
     return np.unique(h)
 
 
-_M61 = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61 - 1
+_M31 = np.uint64((1 << 31) - 1)  # Mersenne prime 2^31 - 1
 
 
 def _fold31(x: np.ndarray) -> np.ndarray:
-    """Fold 64-bit shingle hashes to 31 bits (well below the M61 modulus)."""
-    return (x ^ (x >> np.uint64(31)) ^ (x >> np.uint64(62))) & np.uint64(0x7FFFFFFF)
+    """Fold 64-bit shingle hashes into [0, 2^31-1) (the hash-family domain)."""
+    f = (x ^ (x >> np.uint64(31)) ^ (x >> np.uint64(62))) & _M31
+    return np.where(f == _M31, np.uint64(0), f)
 
 
 def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """(a, b) for the universal family ``(a*x + b) mod (2^61 - 1)``.
+    """(a, b) for the universal family ``(a*x + b) mod (2^31 - 1)``.
 
-    ``a`` < 2^31 and shingle inputs are folded to 31 bits, so every product
-    stays < 2^63 — this keeps numpy's uint64 multiply on its fast
-    (non-overflow-checked) path, a ~12× kernel speedup measured on this
-    container's numpy 1.26. Built once per actor/oracle.
+    The classic MinHash permutation family (same shape Spark's MinHashLSH
+    uses): inputs folded to 31 bits, a,b < 2^31, so products stay < 2^62 —
+    every op on numpy's fast uint64 path, the modulus wraps ~2^31 times
+    (proper min-wise mixing), and the Mersenne reduction is two shifts.
+    Built once per actor/oracle.
     """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, 2**31, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, 2**61 - 1, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, int(_M31), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_M31), size=num_perm, dtype=np.uint64)
     return a, b
 
 
-def _mod_m61(v: np.ndarray) -> np.ndarray:
-    """v mod (2^61 - 1) for v < 2^63, branch-free Mersenne reduction."""
-    m = (v & _M61) + (v >> np.uint64(61))
-    return np.where(m >= _M61, m - _M61, m)
+def _mod_m31(v: np.ndarray) -> np.ndarray:
+    """v mod (2^31 - 1) for v < 2^62, branch-light Mersenne reduction."""
+    m = (v & _M31) + (v >> np.uint64(31))   # < 2^32
+    m = (m & _M31) + (m >> np.uint64(31))   # ≤ 2^31
+    return np.where(m >= _M31, m - _M31, m)
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """MinHash signature (K,) uint64 for one shingle-hash set."""
     x = _fold31(shingles)
-    m = _mod_m61(x[:, None] * a[None, :] + b[None, :])
+    m = _mod_m31(x[:, None] * a[None, :] + b[None, :])
     return m.min(axis=0)
 
 
@@ -131,7 +134,7 @@ def minhash_signatures(
     total = allsh.shape[0]
     while start < total:
         stop = min(total, start + chunk_rows)
-        m = _mod_m61(allsh[start:stop, None] * a[None, :] + b[None, :])
+        m = _mod_m31(allsh[start:stop, None] * a[None, :] + b[None, :])
         # docs overlapping this chunk
         d0 = int(np.searchsorted(offsets, start, side="right")) - 1
         d1 = int(np.searchsorted(offsets, stop, side="left"))

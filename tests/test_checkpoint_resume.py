@@ -1,0 +1,86 @@
+"""Checkpoint/resume tests (BASELINE.md: kill after stage k, resume,
+byte-equal clusters)."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+
+from entity_deduplication_hack_main_ray.config import PipelineConfig
+from entity_deduplication_hack_main_ray.state.checkpoint import (
+    StageManifest,
+    fingerprint_input,
+    stage_is_complete,
+)
+
+
+def _clusters_table(ds) -> pa.Table:
+    return pa.Table.from_pandas(
+        ds.to_pandas()[["image_id", "cluster_id", "cluster_size"]]
+    ).sort_by("image_id")
+
+
+def test_checkpointed_run_and_resume(ray_session, tiny_corpus, tmp_path):
+    from entity_deduplication_hack_main_ray.pipelines.dedup import dedup_pipeline
+
+    corpus_dir, _ = tiny_corpus
+    cfg = PipelineConfig()
+    ckpt = str(tmp_path / "ckpt")
+
+    _, c1 = dedup_pipeline(corpus_dir, cfg, ckpt_dir=ckpt)
+    t1 = _clusters_table(c1)
+    for stage in ("signatures", "edges", "clusters"):
+        m = json.load(open(os.path.join(ckpt, stage, "_manifest.json")))
+        assert m["complete"] and m["rows"] > 0 and m["config_hash"] == cfg.config_hash()
+
+    # simulate a crash AFTER the edges stage: clusters checkpoint destroyed
+    shutil.rmtree(os.path.join(ckpt, "clusters"))
+    edges_manifest = os.path.join(ckpt, "edges", "_manifest.json")
+    before = os.path.getmtime(edges_manifest)
+    _, c2 = dedup_pipeline(corpus_dir, cfg, ckpt_dir=ckpt)
+    assert _clusters_table(c2).equals(t1)  # byte-equal resume
+    assert os.path.getmtime(edges_manifest) == before  # edges NOT recomputed
+
+
+def test_mid_stage_kill_leaves_no_torn_stage(ray_session, tiny_corpus, tmp_path):
+    """A stage dir without a valid manifest (the atomic-rename contract's
+    failure mode is only the .tmp dir) must be recomputed, not trusted."""
+    from entity_deduplication_hack_main_ray.pipelines.dedup import dedup_pipeline
+
+    corpus_dir, _ = tiny_corpus
+    cfg = PipelineConfig()
+    ckpt = str(tmp_path / "ckpt")
+    _, c1 = dedup_pipeline(corpus_dir, cfg, ckpt_dir=ckpt)
+    t1 = _clusters_table(c1)
+
+    # corrupt: stage dir present but manifest says incomplete
+    mpath = os.path.join(ckpt, "edges", "_manifest.json")
+    m = json.load(open(mpath))
+    m["complete"] = False
+    StageManifest(mpath).write(m)
+    shutil.rmtree(os.path.join(ckpt, "clusters"))
+    _, c2 = dedup_pipeline(corpus_dir, cfg, ckpt_dir=ckpt)
+    assert _clusters_table(c2).equals(t1)
+    assert json.load(open(mpath))["complete"] is True  # recomputed cleanly
+
+
+def test_config_change_invalidates_checkpoints(ray_session, tiny_corpus, tmp_path):
+    from entity_deduplication_hack_main_ray.pipelines.dedup import dedup_pipeline
+
+    corpus_dir, _ = tiny_corpus
+    ckpt = str(tmp_path / "ckpt")
+    cfg1 = PipelineConfig()
+    dedup_pipeline(corpus_dir, cfg1, ckpt_dir=ckpt)
+    fp = fingerprint_input(corpus_dir)
+    assert stage_is_complete(ckpt, "signatures", cfg1.config_hash(), fp)
+    cfg2 = PipelineConfig(shingle_k=4)
+    assert not stage_is_complete(ckpt, "signatures", cfg2.config_hash(), fp)
+
+
+def test_execution_knobs_do_not_invalidate():
+    """Manifests stay valid across parallelism levels (SURVEY.md §4)."""
+    a = PipelineConfig(signer_concurrency=2, batch_size=128)
+    b = PipelineConfig(signer_concurrency=16, batch_size=8192)
+    assert a.config_hash() == b.config_hash()
+    assert PipelineConfig(seed=1).config_hash() != a.config_hash()

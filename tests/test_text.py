@@ -1,0 +1,89 @@
+from entity_deduplication_hack_main_ray.functions import text as tx
+
+
+def test_normalize_caption():
+    assert tx.normalize_caption("  Hello\t WORLD \n") == "hello world"
+    assert tx.normalize_caption("ｆｕｌｌｗｉｄｔｈ") == "fullwidth"  # NFKC
+
+
+def test_parse_fields_verbalized():
+    f = tx.parse_fields(
+        "type: person. name: ada lovelace. email: a.l@example.org. city: x."
+    )
+    assert f["name"] == "ada lovelace"
+    assert f["email"] == "a.l@example.org"  # internal dots preserved
+
+
+def test_parse_fields_freetext():
+    assert tx.parse_fields("no labels here") == {"caption": "no labels here"}
+
+
+def test_seq_ratio_matches_reference_semantics():
+    """Reference F1: SequenceMatcher.ratio, NOT true Levenshtein
+    (reference similarity_utils.py:35-39)."""
+    from difflib import SequenceMatcher
+
+    a, b = "Ada Lovelace", "ada lovelac"
+    assert tx.seq_ratio(a, b) == SequenceMatcher(
+        None, a.lower(), b.lower()
+    ).ratio()
+
+
+def test_ratio_upper_bound_dominates():
+    import itertools
+
+    vals = ["ada lovelace", "grace hopper", "emergency dept", "ed", "", "aba"]
+    for a, b in itertools.product(vals, vals):
+        assert tx.ratio_upper_bound(a, b) >= tx.seq_ratio(a, b) - 1e-12
+
+
+def test_acronym_boost_rule():
+    # reference F2 (similarity_utils.py:42-47)
+    assert tx.acronym("emergency department") == "ED"
+    assert tx.acronym_match("emergency department", "ed")
+    assert not tx.acronym_match("emergency department", "icu")
+
+
+def test_adaptive_threshold_table():
+    # reference F3 (similarity_utils.py:49-54)
+    table = {1: 0.4, 2: 0.55, 3: 0.7, 4: 0.8, 5: 0.85}
+    assert tx.adaptive_threshold(1, table, 0.85) == 0.4
+    assert tx.adaptive_threshold(9, table, 0.85) == 0.85
+
+
+def test_field_similarity_exactness_rule():
+    # reference F4 (similarity_utils.py:86-92)
+    fa = {"name": "ada", "city": "delft"}
+    avg, n, exact = tx.field_similarity(fa, dict(fa))
+    assert avg == 1.0 and n == 2 and exact
+    fb = {"name": "ada", "city": "delft", "extra": "x"}
+    _, _, exact2 = tx.field_similarity(fa, fb)
+    assert not exact2  # differing field counts → not exact
+
+
+def test_substring_and_suffix_array():
+    assert tx.substring_contained("name: ada", "type: p. name: ada. c: d")
+    assert not tx.substring_contained("zzz", "abc")
+    long = "abcdefgh" * 1000
+    assert tx.substring_contained("cdefgha", long, sa_threshold=100)
+    sa = tx.SuffixArray("banana")
+    assert sa.contains("nan") and not sa.contains("nab")
+
+
+def test_lang_id():
+    assert tx.lang_id("the cat and the dog are in the house with the mouse") == "en"
+    assert tx.lang_id("der hund und die katze schlafen in der küche") == "de"
+    assert tx.lang_id("zz") == "unknown"
+
+
+def test_token_count_and_quality():
+    assert tx.token_count("hello, world!") == 4  # hello , world !
+    assert tx.whitespace_token_count("a b  c") == 3
+    n, punct, stop, mwl = tx.quality_features("the cat. the hat.")
+    assert n == 17 and punct > 0 and stop == 0.5
+
+
+def test_fingerprint_stable_and_edit_tolerant():
+    f1 = tx.fingerprint64("the quick brown fox jumps over the lazy dog")
+    f2 = tx.fingerprint64("the quick brown fox jumps over the lazy dog")
+    assert f1 == f2
