@@ -1,44 +1,169 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps SURVEY.md §2 operators + the training-data extensions to
+callables over a testdata sf dir; ``oracle_sql()`` provides DuckDB
+equivalents where SQL can express the semantics. Column names match exactly
+between the Ray results and the SQL aliases; float aggregates are emitted as
+exact integer cents/bp so value hashes are reduction-order-independent.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Ray workers must be able to import the package
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full near-dup detection + clustering on the sf0.001-scaled
+    image+caption corpus (deterministic synthetic, per input_hint)."""
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        image_dedup_clusters,
+    )
+
+    return image_dedup_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entity_deduplication_hack_main_ray.pipelines import (
+        ann,
+        corpus_dedup,
+        relational,
+        text_analysis,
+        text_dedup,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ---- relational operator surface (SURVEY.md §2.5 / §2.4) ----------
+        "pricing_summary": relational.pricing_summary,
+        "top_orders": relational.top_orders,
+        "segment_revenue": relational.segment_revenue,
+        "top_order_per_customer": relational.top_order_per_customer,
+        "customers_without_orders": relational.customers_without_orders,
+        "event_type_stats": relational.event_type_stats,
+        "distinct_event_types": relational.distinct_event_types,
+        "nation_region_counts": relational.nation_region_counts,
+        "daily_order_totals": relational.daily_order_totals,
+        # ---- text analysis over documents ---------------------------------
+        "doc_stats": text_analysis.doc_stats,
+        "doc_quality": text_analysis.doc_quality,
+        "lang_distribution": text_analysis.lang_distribution,
+        "doc_fingerprints": text_analysis.doc_fingerprints,
+        # ---- dedup family over documents ----------------------------------
+        "exact_dedup_docs": text_dedup.exact_dedup,
+        "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,
+        "simhash_docs": text_dedup.simhash_signatures_table,
+        "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
+        "simhash_near_pairs": text_dedup.simhash_near_pairs,
+        # ---- similarity search over embeddings ----------------------------
+        "ann_cosine_topk": ann.brute_force_cosine_topk,
+        "ann_lsh_topk": ann.lsh_bucketed_topk,
+        "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        # ---- the image+caption flagship (input_hint corpus) ---------------
+        "image_dedup_clusters": corpus_dedup.image_dedup_clusters,
+        "image_dedup_edges": corpus_dedup.image_dedup_edges,
+        "golden_eval": corpus_dedup.golden_eval,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_revenue_e4,
+                   CAST(SUM(CAST(ROUND(l_discount*10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rn
+              FROM orders) t
+            WHERE rn = 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "event_type_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "nation_region_counts": """
+            SELECT r_name, COUNT(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "daily_order_totals": """
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY day
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                                   x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.qe), 6) AS cos_sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.qe) DESC,
+                                e.vec_id ASC
+                     ) AS rn
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 5
+        """,
+        # doc_quality / lang_distribution / doc_fingerprints /
+        # minhash_lsh_dedup_docs / simhash_* / ngram_jaccard_pairs /
+        # ann_lsh_topk / embedding_near_dup_pairs / image_dedup_* /
+        # golden_eval: non-SQL-expressible (seeded hash families, heuristic
+        # models, LSH approximations, synthetic corpus) → rows-only checks.
+    }

@@ -1,0 +1,83 @@
+"""sf-scaled image+caption corpus dedup — the flagship as a driver query.
+
+The target input shape (BASELINE.json input_hint) is not part of the
+TPC-H-ish testdata, so the corpus is synthesized deterministically (seeded,
+cached under /tmp) at a size proportional to the scale factor, then the full
+dedup pipeline runs over it.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pandas as pd
+
+from ..config import PipelineConfig
+from ..fixtures import write_corpus
+from .dedup import dedup_pipeline
+
+_CACHE_ROOT = "/tmp/edh_ray_corpus"
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def corpus_for_sf(sf_dir: str, seed: int = 42) -> tuple[str, str]:
+    """(corpus_dir, golden_path) for the scale factor implied by sf_dir.
+    sf0.001 → 200 base records, sf0.01 → 2_000, sf0.1 → 20_000."""
+    sf = sf_from_dir(sf_dir)
+    n_base = max(50, int(round(200_000 * sf)))
+    out = os.path.join(_CACHE_ROOT, f"sf{sf}")
+    os.makedirs(out, exist_ok=True)
+    return write_corpus(out, n_base, seed=seed, rows_per_file=5000)
+
+
+def image_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Flagship query: clusters table for the sf-scaled corpus."""
+    corpus_dir, _ = corpus_for_sf(sf_dir)
+    _, clusters = dedup_pipeline(corpus_dir, PipelineConfig())
+    out = clusters.to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def image_dedup_edges(sf_dir: str) -> pd.DataFrame:
+    """Verified duplicate edges for the sf-scaled corpus."""
+    corpus_dir, _ = corpus_for_sf(sf_dir)
+    edges, _ = dedup_pipeline(corpus_dir, PipelineConfig())
+    out = edges.to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def golden_eval(sf_dir: str) -> pd.DataFrame:
+    """Reference-style evaluation (B4/A6: pair-set P/R vs golden): one row
+    of precision/recall/F1 percentages (basis points, exact ints)."""
+    from ..oracle import dup_pairs_from_clusters
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus_dir, golden_path = corpus_for_sf(sf_dir)
+    _, clusters = dedup_pipeline(corpus_dir, PipelineConfig())
+    ctbl = pa.Table.from_pandas(
+        clusters.to_pandas()[["image_id", "cluster_id", "cluster_size"]]
+    )
+    pred = dup_pairs_from_clusters(ctbl)
+    g = pq.read_table(golden_path)
+    gold = {
+        tuple(sorted((o, d)))
+        for o, d in zip(
+            g["original_id"].to_pylist(), g["duplicate_id"].to_pylist()
+        )
+    }
+    tp = len(pred & gold)
+    recall_bp = int(round(10000 * tp / max(1, len(gold))))
+    return pd.DataFrame(
+        {
+            "n_golden": [len(gold)],
+            "n_pred_pairs": [len(pred)],
+            "true_positives": [tp],
+            "recall_bp": [recall_bp],
+        }
+    )

@@ -1,0 +1,232 @@
+"""Relational operator pipelines over the TPC-H-ish test tables.
+
+These exercise the engine's aggregation / join / top-k / set-op surface
+(SURVEY.md §2.5 A1-A10, §2.4 B3-B4) with DuckDB-checkable semantics. Every
+computed column is named identically to its oracle SQL alias.
+
+Scale notes (per-operator docstrings): joins broadcast the small side via
+``ray.put`` (no shuffle), aggregates pre-reduce inside ``map_batches`` before
+the single ``groupby`` where it matters, reads prune columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style grouped aggregate (A4/A7 analog: grouped sums/counts).
+
+    groupby is the only shuffle; input pruned to 5 of 11 columns. Money
+    columns are aggregated as integer cents (rounded per row BEFORE the sum)
+    so the result is exact and order-independent — float sums vary with
+    reduction order across engines, integers do not.
+    """
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount"])
+
+    def project(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": pa.array(
+                    np.round(t["l_quantity"].to_numpy()).astype(np.int64)
+                ),
+                "base_cents": pa.array(np.round(price * 100).astype(np.int64)),
+                # ×10^4: the true value is exactly integral (2-dp price ×
+                # 2-dp discount), so numpy and DuckDB round identically —
+                # ×100 would land on exact .5 and split on rounding mode
+                "revenue_e4": pa.array(
+                    np.round(price * (1.0 - disc) * 10000).astype(np.int64)
+                ),
+                "disc_bp": pa.array(np.round(disc * 10000).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("revenue_e4", alias_name="sum_revenue_e4"),
+            Sum("disc_bp", alias_name="sum_disc_bp"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Global top-k by value (A1's global cousin): sort + limit."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(k).to_pandas()
+
+
+def segment_revenue(sf_dir: str) -> pd.DataFrame:
+    """customer ⋈ orders via BROADCAST hash join (B3/B5 pattern): the small
+    dimension side is ray.put once and looked up per batch — no shuffle join.
+    """
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+    )
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_batch(t: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        seg = [lookup.get(c) for c in t["o_custkey"].to_pylist()]
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg, pa.string()),
+                "price_cents": pa.array(cents),
+            }
+        )
+
+    out = (
+        orders.map_batches(join_batch, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("price_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def top_order_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (A1: per-right-entity nlargest): groupby + map_groups.
+    """
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def head1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(1)
+
+    out = (
+        orders.groupby("o_custkey")
+        .map_groups(head1, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set (B4 eval-join analog): the order-side
+    key set is collected (small) and the probe filters per batch."""
+    keys = set(
+        _t(sf_dir, "orders", ["o_custkey"])
+        .unique("o_custkey")
+    )
+    key_ref = ray.put(keys)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        mask = pa.array([c not in ks for c in t["c_custkey"].to_pylist()])
+        return t.filter(mask)
+
+    out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if out.empty:  # empty Dataset.to_pandas can drop the schema
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def event_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped counts + extremes over the events table (A7)."""
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def milli(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "value_milli": pa.array(
+                    np.round(t["value"].to_numpy() * 1000).astype(np.int64)
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(milli, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_milli", alias_name="sum_value_milli"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Distinct keys (A10: ds.unique)."""
+    vals = sorted(_t(sf_dir, "events", ["event_type"]).unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def nation_region_counts(sf_dir: str) -> pd.DataFrame:
+    """Two-level broadcast join (nation→region) + grouped count: the
+    reference's type-blocking shape (B1) expressed relationally."""
+    region = _t(sf_dir, "region").to_pandas()
+    rmap_ref = ray.put(
+        dict(zip(region["r_regionkey"].to_numpy(), region["r_name"].to_numpy()))
+    )
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        rmap = ray.get(rmap_ref)
+        names = [rmap.get(r) for r in t["n_regionkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string())})
+
+    out = (
+        nation.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_nations"))
+        .to_pandas()
+    )
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def daily_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Time-bucketed aggregate over events-like data (§2.7: tumbling window
+    expressed as a grouped aggregate on the bucket key — Ray Data has no
+    event-time windows; the bucket column IS the window)."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"day": day, "price_cents": pa.array(cents)})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("price_cents", alias_name="revenue_cents"),
+            Count(alias_name="n_orders"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("day").reset_index(drop=True)
