@@ -1,0 +1,156 @@
+"""Benchmark harness.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "e2e_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, "num_cpus": 32,
+     "images_per_sec": R}
+
+``--scaling`` mode: run the headline image-dedup pipeline twice in FRESH
+subprocesses at num_cpus=8 and num_cpus=32 on the same (pre-generated,
+page-cache-warmed) input and report both throughputs + scaling efficiency —
+the sandbox stand-in for the N-vs-4N-node cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _corpus_rows(corpus_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(corpus_dir, f)).num_rows
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def run_bench(num_cpus: int) -> dict:
+    from entity_deduplication_hack_main_ray.config import PipelineConfig
+    from entity_deduplication_hack_main_ray.pipelines import relational, text_dedup
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        corpus_for_sf,
+        sf_from_dir,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.dedup import dedup_pipeline
+
+    # generate (cached) BEFORE timing; warm the page cache with one read
+    corpus_dir, _ = corpus_for_sf(SF_DIR)
+    n_rows = _corpus_rows(corpus_dir)
+    for f in os.listdir(corpus_dir):
+        with open(os.path.join(corpus_dir, f), "rb") as fh:
+            fh.read()
+
+    _init_ray(num_cpus)
+    queries: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    _, clusters = dedup_pipeline(corpus_dir, PipelineConfig(), num_partitions=max(64, num_cpus * 4))
+    n_clusters = clusters.count()
+    t_dedup = time.monotonic() - t0
+    queries["image_dedup"] = round(t_dedup, 3)
+
+    t0 = time.monotonic()
+    relational.pricing_summary(SF_DIR)
+    queries["pricing_summary"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    relational.segment_revenue(SF_DIR)
+    queries["segment_revenue"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    text_dedup.minhash_lsh_dedup(SF_DIR)
+    queries["minhash_lsh_dedup_docs"] = round(time.monotonic() - t0, 3)
+
+    total = sum(queries.values())
+    return {
+        "metric": "e2e_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_from_dir(SF_DIR),
+        "num_cpus": num_cpus,
+        "corpus_rows": n_rows,
+        "n_clusters": n_clusters,
+        "images_per_sec": round(n_rows / t_dedup, 1),
+    }
+
+
+def _run_subprocess(num_cpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def run_scaling() -> dict:
+    # pre-generate the corpus once so both runs see identical warmed input
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import corpus_for_sf
+
+    corpus_for_sf(SF_DIR)
+    lo, hi = 8, 32
+    r_lo = _run_subprocess(lo)
+    r_hi = _run_subprocess(hi)
+    tp_lo = r_lo["images_per_sec"]
+    tp_hi = r_hi["images_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "images_per_sec_lo": tp_lo,
+        "images_per_sec_hi": tp_hi,
+        "dedup_sec_lo": r_lo["queries"]["image_dedup"],
+        "dedup_sec_hi": r_hi["queries"]["image_dedup"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench(NUM_CPUS)
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

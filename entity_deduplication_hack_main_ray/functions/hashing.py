@@ -123,25 +123,30 @@ def minhash_signatures(
     K = a.shape[0]
     if n == 0:
         return np.empty((0, K), dtype=np.uint64)
-    lengths = np.fromiter((s.shape[0] for s in shingle_sets), dtype=np.int64, count=n)
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(lengths[:-1], out=offsets[1:])
-    allsh = _fold31(np.concatenate(shingle_sets))
-    out = np.full((n, K), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # chunk so the (chunk, K) uint64 intermediate stays ~64 MiB
-    chunk_rows = max(1, (64 << 20) // (K * 8))
-    start = 0
-    total = allsh.shape[0]
-    while start < total:
-        stop = min(total, start + chunk_rows)
-        m = _mod_m31(allsh[start:stop, None] * a[None, :] + b[None, :])
-        # docs overlapping this chunk
-        d0 = int(np.searchsorted(offsets, start, side="right")) - 1
-        d1 = int(np.searchsorted(offsets, stop, side="left"))
-        idx = np.clip(offsets[d0:d1] - start, 0, None)
-        red = np.minimum.reduceat(m, idx, axis=0)
-        np.minimum(out[d0:d1], red, out=out[d0:d1])
-        start = stop
+    out = np.empty((n, K), dtype=np.uint64)
+    # Per-doc small-matrix kernel with preallocated scratch: an (s, K) tile
+    # for typical caption shingle counts stays inside L2, which measures an
+    # order of magnitude faster on this host than a concatenated
+    # (total_shingles, K) chunked matrix (large fresh allocations fault in
+    # pages at a huge cost). Scratch buffers are reused across docs.
+    max_s = max((s.shape[0] for s in shingle_sets), default=1)
+    scratch = np.empty((max_s, K), dtype=np.uint64)
+    hi = np.empty((max_s, K), dtype=np.uint64)
+    for i, sh in enumerate(shingle_sets):
+        s = sh.shape[0]
+        m = scratch[:s]
+        h = hi[:s]
+        np.multiply(_fold31(sh)[:, None], a[None, :], out=m)
+        m += b[None, :]
+        # in-place Mersenne reduction mod 2^31-1 (two folds + correction)
+        np.right_shift(m, np.uint64(31), out=h)
+        m &= _M31
+        m += h
+        np.right_shift(m, np.uint64(31), out=h)
+        m &= _M31
+        m += h
+        np.subtract(m, _M31, out=m, where=m >= _M31)
+        m.min(axis=0, out=out[i])
     return out
 
 

@@ -28,10 +28,12 @@ import ray.data
 
 from ..config import PipelineConfig
 from ..sources.io import read_corpus
+from ray.data.aggregate import Min
+
 from ..stages.candidates import explode_keys
 from ..stages.cluster import cluster_assignments
 from ..stages.signer import Signer
-from ..stages.verify import emit_and_verify
+from ..stages.verify import VerifyPairs, emit_pairs
 from ..state.checkpoint import fingerprint_input, run_stage
 
 
@@ -61,13 +63,25 @@ def compute_edges(
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
-    edges = candidates.groupby("pkey").map_groups(
-        lambda g: emit_and_verify(g, cfg), batch_format="pyarrow"
+    pairs = candidates.groupby("pkey").map_groups(
+        lambda g: emit_pairs(g, cfg), batch_format="pyarrow"
     )
-    # A5: exact dedup of pairs — hash-partition by pair key, keep first
-    # (duplicates are byte-identical verdicts, so "first" is deterministic)
-    return edges.groupby(["id_a", "id_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
+    # A5: exact dedup of pairs before verification — duplicate rows (same
+    # pair reached via several key families/partitions) are byte-identical,
+    # so Min over every payload column reproduces the row; vectorized, no
+    # per-group Python. Each unique pair is then verified exactly once.
+    unique_pairs = pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("cap_a", alias_name="cap_a"),
+        Min("cap_b", alias_name="cap_b"),
+        Min("ph_a", alias_name="ph_a"),
+        Min("ph_b", alias_name="ph_b"),
+    )
+    return unique_pairs.map_batches(
+        VerifyPairs,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.signer_concurrency),
     )
 
 

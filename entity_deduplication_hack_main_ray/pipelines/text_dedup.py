@@ -99,6 +99,8 @@ def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.Data
         concurrency=(1, 4),
     )
 
+    P = 64  # coarse shuffle partitions (see stages/candidates.py rationale)
+
     def explode(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -107,34 +109,46 @@ def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.Data
             keys = keys.combine_chunks()
         parent = pc.list_parent_indices(keys)
         sel = t.select(["doc_id", "digest"]).take(parent)
+        flat = keys.flatten()
+        pkey = flat.to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(P)
         return pa.table(
             {
-                "band_key": keys.flatten(),
+                "pkey": pa.array(pkey.astype(np.int64)),
+                "band_key": flat,
                 "doc_id": sel["doc_id"],
                 "digest": sel["digest"],
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        dig = g["digest"].to_numpy()
-        a_out, b_out = [], []
-        # pair docs whose full signatures agree (digest equality)
-        for d in np.unique(dig):
-            members = ids[dig == d]
-            for i in range(1, len(members)):
-                a_out.append(members[0])
-                b_out.append(members[i])
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+    def partition_pairs(g: pa.Table) -> pa.Table:
+        """All buckets of one coarse partition, regrouped vectorized: emit
+        (min_doc → other) star pairs within same-(bucket, digest) groups."""
+        band = g["band_key"].to_numpy(zero_copy_only=False)
+        dig = g["digest"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dig, band))
+        b_s, d_s, i_s = band[order], dig[order], ids[order]
+        new_grp = np.concatenate(
+            [[True], (np.diff(b_s) != 0) | (np.diff(d_s) != 0)]
+        )
+        grp_id = np.cumsum(new_grp) - 1
+        firsts = i_s[new_grp][grp_id]  # min doc_id of each group, broadcast
+        mask = (firsts != i_s)
+        a_out, b_out = firsts[mask], i_s[mask]
+        keep = a_out != b_out
+        return pa.table(
+            {
+                "id_a": pa.array(a_out[keep], pa.int64()),
+                "id_b": pa.array(b_out[keep], pa.int64()),
+            }
+        )
 
     edges = (
         signed.map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
         .to_pandas()
+        .drop_duplicates()
     )
     uf = UnionFind()
     for a, b in zip(edges["id_a"], edges["id_b"]):
@@ -188,6 +202,8 @@ def ngram_jaccard_pairs(
         concurrency=(1, 4),
     )
 
+    P = 64
+
     def explode(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -196,23 +212,44 @@ def ngram_jaccard_pairs(
             keys = keys.combine_chunks()
         parent = pc.list_parent_indices(keys)
         sel = t.select(["doc_id"]).take(parent)
-        return pa.table({"band_key": keys.flatten(), "doc_id": sel["doc_id"]})
+        flat = keys.flatten()
+        pkey = flat.to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(P)
+        return pa.table(
+            {
+                "pkey": pa.array(pkey.astype(np.int64)),
+                "band_key": flat,
+                "doc_id": sel["doc_id"],
+            }
+        )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(i) for i in g["doc_id"]))
-        if len(ids) < 2 or len(ids) > 256:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+    def partition_pairs(g: pa.Table) -> pa.Table:
+        band = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, band))
+        b_s, i_s = band[order], ids[order]
+        bounds = np.nonzero(np.diff(b_s))[0] + 1
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out})
+        for s, e in zip(
+            np.concatenate([[0], bounds]), np.concatenate([bounds, [len(b_s)]])
+        ):
+            mem = np.unique(i_s[s:e])
+            if len(mem) < 2 or len(mem) > 256:
+                continue
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    a_out.append(int(mem[i]))
+                    b_out.append(int(mem[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+            }
+        )
 
     cand = (
         signed.map_batches(explode, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
         .to_pandas()
         .drop_duplicates()
     )
