@@ -24,19 +24,32 @@ import pyarrow.parquet as pq
 from .functions.codecs import decode_image, encode_fake_jpeg, encode_png
 from .functions.hashing import dct_matrix, phash64
 
-_FIRST = ["ada", "grace", "alan", "edsger", "barbara", "donald", "john",
-          "leslie", "tim", "margaret", "radia", "frances", "ken", "dennis",
-          "bjarne", "guido", "linus", "yukihiro", "anders", "brendan"]
-_LAST = ["lovelace", "hopper", "turing", "dijkstra", "liskov", "knuth",
-         "mccarthy", "lamport", "berners-lee", "hamilton", "perlman",
-         "allen", "thompson", "ritchie", "stroustrup", "rossum"]
-_JOB = ["nurse practitioner", "general practitioner", "radiology technician",
-        "cardiologist", "medical receptionist", "pharmacist", "surgeon",
-        "physical therapist", "lab technician", "anesthesiologist"]
-_CITY = ["amsterdam", "utrecht", "rotterdam", "eindhoven", "groningen",
-         "maastricht", "leiden", "delft", "haarlem", "nijmegen"]
+# Vocabularies are syllable-composed so the name/city space is large
+# (~10^4 first×last combos): with small hand lists, thousands of *distinct*
+# records would share exact names and 0.6+ caption Jaccard, flooding the
+# candidate stage with fixture-artifact near-dups no real caption corpus has.
+_SYL_A = ["a", "be", "ca", "do", "el", "fa", "gi", "ha", "ilo", "jo", "ka",
+          "lu", "ma", "ne", "or", "pa", "qui", "ra", "sa", "tu", "u", "vi",
+          "wa", "xe", "ya", "zo"]
+_SYL_B = ["bel", "car", "dan", "der", "fin", "gard", "hart", "kin", "lin",
+          "lock", "man", "mer", "nor", "rick", "ron", "son", "stein", "ter",
+          "ton", "vale", "wick", "worth"]
+_FIRST = [a + b for a in _SYL_A for b in ["la", "ri", "no", "ta", "vin",
+                                          "dra", "mi", "sel"]]
+_LAST = [a + b for a in _SYL_A for b in _SYL_B]
+_JOB = [f"{lvl} {role}".strip() for lvl in
+        ["senior", "junior", "chief", "assistant", "", "locum", "interim"]
+        for role in
+        ["nurse practitioner", "general practitioner", "radiology technician",
+         "cardiologist", "medical receptionist", "pharmacist", "surgeon",
+         "physical therapist", "lab technician", "anesthesiologist",
+         "dietitian", "midwife", "paramedic", "orthopedist"]]
+_CITY = [a + b for a in _SYL_A for b in ["stad", "burg", "dam", "wijk",
+                                         "veld", "hoven", "lo", "meer"]]
 _DEPT = ["emergency department", "intensive care unit", "radiology department",
-         "cardiology department", "general surgery", "outpatient clinic"]
+         "cardiology department", "general surgery", "outpatient clinic",
+         "oncology ward", "maternity ward", "neurology department",
+         "orthopedics department", "pediatrics department", "dialysis unit"]
 
 VARIATIONS = [
     "exact", "reencode", "name_typo", "city_typo", "email_typo",
