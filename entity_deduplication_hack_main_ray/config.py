@@ -41,10 +41,19 @@ class PipelineConfig:
     rows: int = 8               # rows per band r — r=8 keeps the S-curve
                                 # steep: j=0.85 dup pairs collide w.p. ~0.99,
                                 # j=0.35 template-share pairs w.p. ~0.3%
-    phash_bands: int = 4        # image pHash split into 16-bit LSH chunks
-                                # (catches re-encodes: Hamming≤2 shares ≥2)
-    simhash_bands: int = 4      # caption SimHash 16-bit chunks (cheap recall
-                                # backstop for near-identical captions)
+    shingle_values_only: bool = True
+                                # shingle the parsed field VALUES, not the
+                                # verbalized labels: the reference compares
+                                # per-predicate literal values
+                                # (similarity_utils.py:58-104), and template
+                                # labels otherwise put a ~0.6 Jaccard floor
+                                # under every DISTINCT record pair
+    phash_bands: int = 2        # image pHash split into 32-bit LSH chunks:
+                                # catches identical/Hamming≤1 images; deeper
+                                # re-encodes are caught by the caption
+                                # families (their captions are unchanged)
+    simhash_bands: int = 2      # caption SimHash 32-bit chunks — the
+                                # near-identical-caption backstop
     block_fields: tuple[str, ...] = ("name", "email")
                                 # reference-style blocking keys (B1 analog,
                                 # reference dedup_pipeline.py:26-31): exact

@@ -200,21 +200,24 @@ def band_keys(signatures: np.ndarray, bands: int, rows: int, seed: int) -> np.nd
 
 
 def chunk16_bands(values: np.ndarray, n_bands: int, tag: int, seed: int) -> np.ndarray:
-    """Split 64-bit signatures into ``n_bands`` 16-bit chunks → (n, n_bands)
+    """Split 64-bit signatures into ``n_bands`` equal bit-chunks → (n, n_bands)
     band keys, namespaced by ``tag`` so different families (pHash, SimHash)
     never collide with each other or with the MinHash bands.
 
-    Two values at Hamming distance d collide on ≥ n_bands - d chunks, so
-    re-encoded images (pHash Hamming ≤ 2-3 at PSNR≥40dB) are near-certain
-    candidates — the image-side LSH the north rule asks for.
+    Two values at Hamming distance d collide on ≥ n_bands - d chunks — the
+    image-side LSH the north rule asks for. With n_bands=2 (32-bit chunks)
+    random collisions are ~2·2^-32 (negligible), and identical / Hamming≤1
+    signatures always collide.
     """
-    assert 1 <= n_bands <= 4
+    assert 1 <= n_bands <= 4 and 64 % n_bands == 0
+    width = np.uint64(64 // n_bands)
+    mask = np.uint64((1 << int(width)) - 1)
     v = np.asarray(values, dtype=np.uint64)
-    shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(16))[None, :]
-    chunks = (v[:, None] >> shifts) & np.uint64(0xFFFF)
+    shifts = (np.arange(n_bands, dtype=np.uint64) * width)[None, :]
+    chunks = (v[:, None] >> shifts) & mask
     band_idx = np.arange(n_bands, dtype=np.uint64)[None, :]
     salt = splitmix64(band_idx + splitmix64(np.uint64((seed ^ (tag * 0x9E37)) & 0xFFFFFFFFFFFFFFFF)))
-    return splitmix64(chunks + salt)
+    return splitmix64((chunks ^ salt) * _FNV_PRIME + salt)
 
 
 def all_candidate_keys(

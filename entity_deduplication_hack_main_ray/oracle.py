@@ -175,7 +175,17 @@ def oracle_match(
     phashes = corpus["phash"].to_pylist()
     n = len(ids)
 
-    shingle_sets = [shingle_hashes(c, cfg.shingle_k, cfg.seed) for c in captions]
+    fields = [tx.parse_fields(c) for c in captions]
+    # shingle the field VALUES (reference compares per-predicate literals,
+    # similarity_utils.py:58-104) — template labels otherwise put a Jaccard
+    # floor under every distinct pair; free-text captions are unchanged
+    # (parse_fields falls back to {"caption": text})
+    sig_texts = (
+        [" ".join(f.values()) for f in fields]
+        if cfg.shingle_values_only
+        else captions
+    )
+    shingle_sets = [shingle_hashes(c, cfg.shingle_k, cfg.seed) for c in sig_texts]
     a, b = minhash_params(cfg.num_perm, cfg.seed)
     sigs = minhash_signatures(shingle_sets, a, b)
     digests = signature_digest(sigs)
@@ -186,7 +196,6 @@ def oracle_match(
         cfg.phash_bands, cfg.simhash_bands, cfg.seed,
     )
 
-    fields = [tx.parse_fields(c) for c in captions]
     blocks = block_keys(fields, cfg.block_fields, cfg.seed)
     buckets: dict[int, list[int]] = defaultdict(list)
     for i in range(n):

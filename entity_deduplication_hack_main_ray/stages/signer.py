@@ -59,7 +59,15 @@ class Signer:
         c = self.cfg
         captions = batch["caption"].to_pylist()
         norm = [tx.normalize_caption(s or "") for s in captions]
-        shingle_sets = [shingle_hashes(s, c.shingle_k, c.seed) for s in norm]
+        fields = [tx.parse_fields(s) for s in norm]
+        # shingle field VALUES only (see oracle.oracle_match) — labels are
+        # template noise; free-text captions fall through unchanged
+        sig_texts = (
+            [" ".join(f.values()) for f in fields]
+            if c.shingle_values_only
+            else norm
+        )
+        shingle_sets = [shingle_hashes(s, c.shingle_k, c.seed) for s in sig_texts]
         sigs = minhash_signatures(shingle_sets, self.a, self.b)
         digests = signature_digest(sigs).view(np.int64)
         simhash = simhash_signatures(shingle_sets)
@@ -70,8 +78,6 @@ class Signer:
             phashes = self._decode_phashes(batch)
         else:
             phashes = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-        fields = [tx.parse_fields(s) for s in norm]
         blocks = block_keys(fields, c.block_fields, c.seed)
         bandk = all_candidate_keys(
             sigs,
