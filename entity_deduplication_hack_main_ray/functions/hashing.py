@@ -154,19 +154,25 @@ def simhash_signatures(shingle_sets: list[np.ndarray]) -> np.ndarray:
     """64-bit SimHash per document from its shingle-hash set → (n,) uint64.
 
     Bit-vote: each shingle hash votes ±1 per bit; sign of the sum is the
-    signature bit. Vectorized via unpacking the uint64s to a (s, 64) bit
-    matrix per document.
+    signature bit. Batched: one unpackbits over the concatenated shingle
+    hashes, one reduceat per document boundary, one packbits — no per-doc
+    Python beyond the boundary bookkeeping.
     """
-    out = np.empty(len(shingle_sets), dtype=np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for i, sh in enumerate(shingle_sets):
-        bits = ((sh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - sh.shape[0]
-        sig = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(j)
-        out[i] = sig
-    return out
+    n = len(shingle_sets)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lengths = np.fromiter((s.shape[0] for s in shingle_sets), dtype=np.int64, count=n)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    allsh = np.ascontiguousarray(np.concatenate(shingle_sets))
+    # little-endian uint64 → byte view → bit matrix (total, 64)
+    bits = np.unpackbits(
+        allsh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    ones = np.add.reduceat(bits.astype(np.int32), offsets, axis=0)  # (n, 64)
+    sig_bits = (2 * ones) > lengths[:, None]
+    packed = np.packbits(sig_bits, axis=1, bitorder="little")
+    return packed.reshape(n, 8).copy().view(np.uint64).ravel()
 
 
 def hamming64(x: np.ndarray, y: np.ndarray) -> np.ndarray:

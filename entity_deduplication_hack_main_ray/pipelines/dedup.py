@@ -35,6 +35,13 @@ from ..stages.verify import VerifyPairs, emit_pairs
 from ..state.checkpoint import fingerprint_input, run_stage
 
 
+def _cluster_cpus() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
 def compute_signatures(
     corpus: ray.data.Dataset, cfg: PipelineConfig, with_bytes: bool = False
 ) -> ray.data.Dataset:
@@ -44,9 +51,9 @@ def compute_signatures(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size if with_bytes else cfg.batch_size,
-        # autoscaling pool: min 1 actor so the read stage is never starved
-        # of CPUs on small clusters; scales to the configured max under load
-        concurrency=(1, cfg.signer_concurrency),
+        # autoscaling pool sized to the cluster: min 1 actor so the read
+        # stage is never starved of CPUs on small clusters; max = all CPUs
+        concurrency=(1, _cluster_cpus()),
     )
 
 
@@ -61,6 +68,11 @@ def compute_edges(
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
+    # Ray's sort-based groupby inherits the upstream block count as its
+    # partition count; explode emits few fat blocks, which would serialize
+    # the shuffle+verify stages — split first so the wide stages fan out
+    shuffle_parallelism = min(num_partitions, 4 * _cluster_cpus())
+    candidates = candidates.repartition(shuffle_parallelism)
     pairs = candidates.groupby("pkey").map_groups(
         lambda g: emit_pairs(g, cfg), batch_format="pyarrow"
     )
@@ -87,15 +99,17 @@ def compute_edges(
 
     unique_pairs = (
         pairs.map_batches(add_pair_pkey, batch_format="pyarrow")
+        .repartition(shuffle_parallelism)
         .groupby("pair_pkey")
         .map_groups(dedup_partition, batch_format="pandas")
     )
+    # stateless task-based stage (not an actor pool): verification state is
+    # a trivial threshold vector, and plain tasks scale elastically to every
+    # idle CPU instead of a fixed pool
     return unique_pairs.map_batches(
-        VerifyPairs,
-        fn_constructor_kwargs={"cfg": cfg},
+        lambda t: VerifyPairs(cfg)(t),
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=(1, cfg.signer_concurrency),
+        batch_size=min(cfg.batch_size, 2048),
     )
 
 
