@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- the image+caption flagship (input_hint corpus) ---------------
         "image_dedup_clusters": corpus_dedup.image_dedup_clusters,
         "image_dedup_edges": corpus_dedup.image_dedup_edges,
+        "match_topk": corpus_dedup.match_topk,
+        "eval_by_variation": corpus_dedup.eval_by_variation,
         "golden_eval": corpus_dedup.golden_eval,
     }
 

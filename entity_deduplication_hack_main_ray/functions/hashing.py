@@ -80,6 +80,99 @@ def _fold31(x: np.ndarray) -> np.ndarray:
     return np.where(f == _M31, np.uint64(0), f)
 
 
+def shingle_hash_stream(
+    texts: list[str], k: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched shingle hashing for a whole batch of texts → (hashes,
+    offsets) where ``hashes[offsets[i]:offsets[i+1]]`` are doc i's k-shingle
+    hashes (MULTISET — duplicates kept; MinHash's min is unaffected by
+    multiplicity and SimHash becomes occurrence-weighted, used consistently
+    by engine and oracle).
+
+    One rolling-hash pass over the concatenated bytes instead of a per-doc
+    numpy call chain — the per-doc path spends more time in call overhead
+    than hashing at caption lengths. Texts shorter than ``k`` (incl. empty)
+    are NUL-padded to ``k`` so they contribute exactly one shingle.
+    """
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    raws = []
+    for t in texts:
+        r = t.encode("utf-8", "surrogatepass")
+        if len(r) < k:
+            r = r + b"\x00" * (k - len(r))
+        raws.append(r)
+    lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=n)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    big = np.frombuffer(b"".join(raws), dtype=np.uint8).astype(np.uint64)
+
+    powers = np.empty(k, dtype=np.uint64)
+    p = 1
+    for i in range(k - 1, -1, -1):
+        powers[i] = np.uint64(p)
+        p = (p * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    win = np.lib.stride_tricks.sliding_window_view(big, k)
+    h_all = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    h_all = splitmix64(h_all + np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+
+    # valid window positions per doc: [starts[i], starts[i] + len_i - k]
+    cnt = lens - k + 1
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offsets[1:])
+    # ragged ranges: global position index for every (doc, local window)
+    base = np.repeat(starts[:-1] - offsets[:-1], cnt)
+    pos = base + np.arange(offsets[-1], dtype=np.int64)
+    return h_all[pos], offsets
+
+
+def minhash_from_stream(
+    hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signatures from a shingle stream → (n, K) uint64."""
+    n = offsets.shape[0] - 1
+    K = a.shape[0]
+    out = np.empty((n, K), dtype=np.uint64)
+    folded = _fold31(hashes)
+    max_s = int((offsets[1:] - offsets[:-1]).max()) if n else 1
+    scratch = np.empty((max_s, K), dtype=np.uint64)
+    hi = np.empty((max_s, K), dtype=np.uint64)
+    for i in range(n):
+        x = folded[offsets[i] : offsets[i + 1]]
+        s = x.shape[0]
+        m = scratch[:s]
+        h = hi[:s]
+        np.multiply(x[:, None], a[None, :], out=m)
+        m += b[None, :]
+        np.right_shift(m, np.uint64(31), out=h)
+        m &= _M31
+        m += h
+        np.right_shift(m, np.uint64(31), out=h)
+        m &= _M31
+        m += h
+        np.subtract(m, _M31, out=m, where=m >= _M31)
+        m.min(axis=0, out=out[i])
+    return out
+
+
+def simhash_from_stream(hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Occurrence-weighted SimHash from a shingle stream → (n,) uint64."""
+    n = offsets.shape[0] - 1
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lengths = offsets[1:] - offsets[:-1]
+    bits = np.unpackbits(
+        np.ascontiguousarray(hashes).view(np.uint8).reshape(-1, 8),
+        axis=1,
+        bitorder="little",
+    )
+    ones = np.add.reduceat(bits, offsets[:-1], axis=0, dtype=np.int32)
+    sig_bits = (2 * ones) > lengths[:, None]
+    packed = np.packbits(sig_bits, axis=1, bitorder="little")
+    return packed.reshape(n, 8).copy().view(np.uint64).ravel()
+
+
 def minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """(a, b) for the universal family ``(a*x + b) mod (2^31 - 1)``.
 
@@ -169,7 +262,8 @@ def simhash_signatures(shingle_sets: list[np.ndarray]) -> np.ndarray:
     bits = np.unpackbits(
         allsh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
-    ones = np.add.reduceat(bits.astype(np.int32), offsets, axis=0)  # (n, 64)
+    # dtype=int32 accumulates without materializing an int32 copy of `bits`
+    ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int32)  # (n, 64)
     sig_bits = (2 * ones) > lengths[:, None]
     packed = np.packbits(sig_bits, axis=1, bitorder="little")
     return packed.reshape(n, 8).copy().view(np.uint64).ravel()

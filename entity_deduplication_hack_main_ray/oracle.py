@@ -24,11 +24,11 @@ from .functions import text as tx
 from .functions.hashing import (
     all_candidate_keys,
     block_keys,
+    minhash_from_stream,
     minhash_params,
-    minhash_signatures,
-    shingle_hashes,
+    shingle_hash_stream,
     signature_digest,
-    simhash_signatures,
+    simhash_from_stream,
 )
 from .state.unionfind import UnionFind
 
@@ -185,11 +185,11 @@ def oracle_match(
         if cfg.shingle_values_only
         else captions
     )
-    shingle_sets = [shingle_hashes(c, cfg.shingle_k, cfg.seed) for c in sig_texts]
+    stream, offsets = shingle_hash_stream(sig_texts, cfg.shingle_k, cfg.seed)
     a, b = minhash_params(cfg.num_perm, cfg.seed)
-    sigs = minhash_signatures(shingle_sets, a, b)
+    sigs = minhash_from_stream(stream, offsets, a, b)
     digests = signature_digest(sigs)
-    simhash = simhash_signatures(shingle_sets)
+    simhash = simhash_from_stream(stream, offsets)
     ph = np.array([p % 2**64 for p in phashes], dtype=np.uint64)
     bk = all_candidate_keys(
         sigs, ph, simhash, cfg.bands, cfg.rows,

@@ -19,6 +19,21 @@ from .dedup import dedup_pipeline
 
 _CACHE_ROOT = "/tmp/edh_ray_corpus"
 
+# in-process memo of (corpus_dir, config_hash) → (edges_df, clusters_df):
+# the driver calls several corpus queries back to back; the pipeline result
+# is deterministic, so compute it once per session
+_RESULT_CACHE: dict[tuple[str, str], tuple[pd.DataFrame, pd.DataFrame]] = {}
+
+
+def _run_cached(corpus_dir: str, cfg: PipelineConfig) -> tuple[pd.DataFrame, pd.DataFrame]:
+    key = (corpus_dir, cfg.config_hash())
+    hit = _RESULT_CACHE.get(key)
+    if hit is None:
+        edges, clusters = dedup_pipeline(corpus_dir, cfg)
+        hit = (edges.to_pandas(), clusters.to_pandas())
+        _RESULT_CACHE[key] = hit
+    return hit
+
 
 def sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
@@ -38,17 +53,58 @@ def corpus_for_sf(sf_dir: str, seed: int = 42) -> tuple[str, str]:
 def image_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Flagship query: clusters table for the sf-scaled corpus."""
     corpus_dir, _ = corpus_for_sf(sf_dir)
-    _, clusters = dedup_pipeline(corpus_dir, PipelineConfig())
-    out = clusters.to_pandas()
-    return out.sort_values("image_id").reset_index(drop=True)
+    _, clusters = _run_cached(corpus_dir, PipelineConfig())
+    return clusters.sort_values("image_id").reset_index(drop=True)
 
 
 def image_dedup_edges(sf_dir: str) -> pd.DataFrame:
     """Verified duplicate edges for the sf-scaled corpus."""
     corpus_dir, _ = corpus_for_sf(sf_dir)
-    edges, _ = dedup_pipeline(corpus_dir, PipelineConfig())
-    out = edges.to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    edges, _ = _run_cached(corpus_dir, PipelineConfig())
+    return edges.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def match_topk(sf_dir: str) -> pd.DataFrame:
+    """Reference A1 (`similarity_utils.py:22-33`): per right-side entity,
+    keep the top-k candidates by fused score (k = cfg.top_k), score-desc
+    with id tiebreak — the match-mode output shape of the reference."""
+    cfg = PipelineConfig()
+    corpus_dir, _ = corpus_for_sf(sf_dir)
+    edges, _ = _run_cached(corpus_dir, cfg)
+    out = (
+        edges.sort_values(["score", "id_a"], ascending=[False, True])
+        .groupby("id_b", group_keys=False)
+        .head(cfg.top_k)
+    )
+    return out.sort_values(["id_b", "id_a"]).reset_index(drop=True)
+
+
+def eval_by_variation(sf_dir: str) -> pd.DataFrame:
+    """Reference eval breakdown (`EvaluateVariations.ipynb cells 11-16`,
+    A6/A7): per variation_type, golden pairs found/missed by the engine."""
+    from ..oracle import dup_pairs_from_clusters
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus_dir, golden_path = corpus_for_sf(sf_dir)
+    _, clusters = _run_cached(corpus_dir, PipelineConfig())
+    ctbl = pa.Table.from_pandas(
+        clusters[["image_id", "cluster_id", "cluster_size"]]
+    )
+    pred = dup_pairs_from_clusters(ctbl)
+    g = pq.read_table(golden_path).to_pandas()
+    g["pair"] = [
+        tuple(sorted((o, d)))
+        for o, d in zip(g["original_id"], g["duplicate_id"])
+    ]
+    g["found"] = g["pair"].isin(pred)
+    out = (
+        g.groupby("variation_type")
+        .agg(n_golden=("pair", "size"), n_found=("found", "sum"))
+        .reset_index()
+    )
+    out["n_found"] = out["n_found"].astype("int64")
+    return out.sort_values("variation_type").reset_index(drop=True)
 
 
 def golden_eval(sf_dir: str) -> pd.DataFrame:
@@ -59,9 +115,9 @@ def golden_eval(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
     corpus_dir, golden_path = corpus_for_sf(sf_dir)
-    _, clusters = dedup_pipeline(corpus_dir, PipelineConfig())
+    _, clusters = _run_cached(corpus_dir, PipelineConfig())
     ctbl = pa.Table.from_pandas(
-        clusters.to_pandas()[["image_id", "cluster_id", "cluster_size"]]
+        clusters[["image_id", "cluster_id", "cluster_size"]]
     )
     pred = dup_pairs_from_clusters(ctbl)
     g = pq.read_table(golden_path)

@@ -71,7 +71,7 @@ def compute_edges(
     # Ray's sort-based groupby inherits the upstream block count as its
     # partition count; explode emits few fat blocks, which would serialize
     # the shuffle+verify stages — split first so the wide stages fan out
-    shuffle_parallelism = min(num_partitions, 4 * _cluster_cpus())
+    shuffle_parallelism = min(num_partitions, 2 * _cluster_cpus())
     candidates = candidates.repartition(shuffle_parallelism)
     pairs = candidates.groupby("pkey").map_groups(
         lambda g: emit_pairs(g, cfg), batch_format="pyarrow"
@@ -103,13 +103,15 @@ def compute_edges(
         .groupby("pair_pkey")
         .map_groups(dedup_partition, batch_format="pandas")
     )
-    # stateless task-based stage (not an actor pool): verification state is
-    # a trivial threshold vector, and plain tasks scale elastically to every
-    # idle CPU instead of a fixed pool
+    # actor pool sized to the cluster: the actor holds a cross-batch per-doc
+    # feature cache (a doc's parse + histograms are computed once per actor,
+    # not once per batch it appears in)
     return unique_pairs.map_batches(
-        lambda t: VerifyPairs(cfg)(t),
+        VerifyPairs,
+        fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
-        batch_size=min(cfg.batch_size, 2048),
+        batch_size=cfg.batch_size,
+        concurrency=(1, _cluster_cpus()),
     )
 
 

@@ -15,11 +15,12 @@ from ..config import PipelineConfig
 from ..functions.hashing import (
     band_keys,
     hamming64,
+    minhash_from_stream,
     minhash_params,
-    minhash_signatures,
+    shingle_hash_stream,
     shingle_hashes,
     signature_digest,
-    simhash_signatures,
+    simhash_from_stream,
 )
 from ..state.unionfind import UnionFind
 
@@ -60,10 +61,13 @@ class DocSigner:
     def __call__(self, t: pa.Table) -> pa.Table:
         c = self.cfg
         texts = t["text"].to_pylist()
-        sets = [shingle_hashes(s.lower(), c.shingle_k, c.seed) for s in texts]
-        sigs = minhash_signatures(sets, self.a, self.b)
+        stream, offsets = shingle_hash_stream(
+            [s.lower() for s in texts], c.shingle_k, c.seed
+        )
+        sigs = minhash_from_stream(stream, offsets, self.a, self.b)
+        simhash = simhash_from_stream(stream, offsets)
         bk = band_keys(sigs, c.bands, c.rows, c.seed).view(np.int64)
-        offsets = pa.array(
+        list_offsets = pa.array(
             np.arange(0, (len(texts) + 1) * c.bands, c.bands, dtype=np.int32)
         )
         return pa.table(
@@ -72,11 +76,9 @@ class DocSigner:
                 "digest": pa.array(
                     signature_digest(sigs).view(np.int64), pa.int64()
                 ),
-                "simhash": pa.array(
-                    simhash_signatures(sets).view(np.int64), pa.int64()
-                ),
+                "simhash": pa.array(simhash.view(np.int64), pa.int64()),
                 "keys": pa.ListArray.from_arrays(
-                    offsets, pa.array(bk.ravel(), pa.int64())
+                    list_offsets, pa.array(bk.ravel(), pa.int64())
                 ),
             }
         )

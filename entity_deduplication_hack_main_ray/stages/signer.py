@@ -26,12 +26,12 @@ from ..functions.hashing import (
     all_candidate_keys,
     block_keys,
     dct_matrix,
+    minhash_from_stream,
     minhash_params,
-    minhash_signatures,
     phash64,
-    shingle_hashes,
+    shingle_hash_stream,
     signature_digest,
-    simhash_signatures,
+    simhash_from_stream,
 )
 
 SIGNATURE_SCHEMA = pa.schema(
@@ -67,10 +67,10 @@ class Signer:
             if c.shingle_values_only
             else norm
         )
-        shingle_sets = [shingle_hashes(s, c.shingle_k, c.seed) for s in sig_texts]
-        sigs = minhash_signatures(shingle_sets, self.a, self.b)
+        stream, offsets = shingle_hash_stream(sig_texts, c.shingle_k, c.seed)
+        sigs = minhash_from_stream(stream, offsets, self.a, self.b)
         digests = signature_digest(sigs).view(np.int64)
-        simhash = simhash_signatures(shingle_sets)
+        simhash = simhash_from_stream(stream, offsets)
 
         if "bytes" in batch.column_names:
             # fidelity path: recompute pHash from decoded pixels (per-row

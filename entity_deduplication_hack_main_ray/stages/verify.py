@@ -134,6 +134,35 @@ class VerifyPairs:
         self._thr_vec = np.array(
             [thr.get(i, self.cfg.adaptive_default) for i in range(64)]
         )
+        # cross-batch per-doc feature cache (actor-pool state): a doc appears
+        # in many pairs spread over many batches; its parse + histograms are
+        # computed once per actor lifetime
+        self._doc_cache: dict[str, tuple] = {}
+
+    def _doc_features(self, iid: str, cap: str) -> tuple:
+        feat = self._doc_cache.get(iid)
+        if feat is not None:
+            return feat
+        fl = tx.parse_fields(cap)
+        raw = cap.encode("utf-8", "surrogatepass")
+        if len(raw) != len(cap):
+            feat = (fl, None)  # non-ascii → histogram bounds unsafe
+        else:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            caphist = np.zeros(128, dtype=np.int32)
+            np.add.at(caphist, arr & 0x7F, 1)
+            per_field = {}
+            for k, v in fl.items():
+                vb = np.frombuffer(v.encode(), dtype=np.uint8)
+                h = np.zeros(128, dtype=np.uint16)
+                np.add.at(h, vb & 0x7F, 1)
+                nsp = int((vb == 32).sum())
+                per_field[k] = (h, len(v), len(v.split()), len(v) - nsp)
+            feat = (fl, (caphist, len(cap), per_field))
+        self._doc_cache[iid] = feat
+        if len(self._doc_cache) > 2_000_000:  # bound actor memory
+            self._doc_cache.clear()
+        return feat
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -147,15 +176,17 @@ class VerifyPairs:
         ph_a = batch["ph_a"].to_numpy(zero_copy_only=False)
         ph_b = batch["ph_b"].to_numpy(zero_copy_only=False)
 
-        # ---- per-unique-doc feature build (python, amortized) -------------
+        # ---- per-unique-doc features (actor-cached across batches) --------
         idx: dict[str, int] = {}
         caps: list[str] = []
+        feats: list[tuple] = []
         for iid, cap in zip(id_a + id_b, cap_a + cap_b):
             if iid not in idx:
                 idx[iid] = len(caps)
                 caps.append(cap)
+                feats.append(self._doc_features(iid, cap))
         n_docs = len(caps)
-        fields = [tx.parse_fields(c) for c in caps]
+        fields = [f[0] for f in feats]
         labels: dict[str, int] = {}
         for f in fields:
             for k in f:
@@ -169,23 +200,20 @@ class VerifyPairs:
         caplen = np.zeros(n_docs, dtype=np.int32)
         caphist = np.zeros((n_docs, 128), dtype=np.int32)
         unsafe = np.zeros(n_docs, dtype=bool)  # non-ascii → bound invalid
-        for d, (cap, fl) in enumerate(zip(caps, fields)):
-            raw = cap.encode("utf-8", "surrogatepass")
-            if len(raw) != len(cap):
+        for d, (fl, packed) in enumerate(feats):
+            if packed is None:
                 unsafe[d] = True
                 continue
-            arr = np.frombuffer(raw, dtype=np.uint8)
-            np.add.at(caphist[d], arr & 0x7F, 1)
-            caplen[d] = len(cap)
-            for k, v in fl.items():
+            chist, clen, per_field = packed
+            caphist[d] = chist
+            caplen[d] = clen
+            for k, (h, ln, w, dsp) in per_field.items():
                 j = labels[k]
                 present[d, j] = True
-                flen[d, j] = len(v)
-                vb = np.frombuffer(v.encode(), dtype=np.uint8)
-                nsp = int((vb == 32).sum())
-                wc[d, j] = len(v.split())
-                dl[d, j] = len(v) - nsp
-                np.add.at(hist[d, j], vb & 0x7F, 1)
+                flen[d, j] = ln
+                wc[d, j] = w
+                dl[d, j] = dsp
+                hist[d, j] = h
 
         ia = np.fromiter((idx[i] for i in id_a), dtype=np.int64, count=n_pairs)
         ib = np.fromiter((idx[i] for i in id_b), dtype=np.int64, count=n_pairs)
