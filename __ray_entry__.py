@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "nation_region_counts": relational.nation_region_counts,
         "daily_order_totals": relational.daily_order_totals,
+        "hourly_user_windows": relational.hourly_user_windows,
+        "user_sessions": relational.user_sessions,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -134,6 +136,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                    COUNT(*) AS n_orders
             FROM orders GROUP BY day
+        """,
+        "hourly_user_windows": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d %H') AS hour,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
+            FROM events GROUP BY user_id, hour
+        """,
+        "user_sessions": """
+            SELECT user_id, COUNT(*) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+              FROM (SELECT user_id, ts,
+                           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             AS prev_ts
+                    FROM events) w) s
+            WHERE new_session = 1 GROUP BY user_id
         """,
         "doc_stats": """
             SELECT doc_id,

@@ -209,6 +209,57 @@ def nation_region_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def hourly_user_windows(sf_dir: str) -> pd.DataFrame:
+    """Tumbling event-time window (SURVEY.md §2.7): Ray Data has no
+    watermarks, so the window IS a group key — (user_id, hour bucket) →
+    count + exact integer sum."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.strftime(t["ts"], format="%Y-%m-%d %H")
+        milli = np.round(t["value"].to_numpy() * 1000).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "hour": hour,
+                "value_milli": pa.array(milli),
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_milli", alias_name="sum_value_milli"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows (SURVEY.md §2.7): per user, events sorted by ts;
+    a gap > ``gap_minutes`` starts a new session. Ray shape:
+    ``groupby(user).map_groups`` over the time-sorted group — the ordering
+    assumption (per-user, ts-ascending within group) is established inside
+    the group function, not globally."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        n = int((ts.diff() > gap).sum()) + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def daily_order_totals(sf_dir: str) -> pd.DataFrame:
     """Time-bucketed aggregate over events-like data (§2.7: tumbling window
     expressed as a grouped aggregate on the bucket key — Ray Data has no
