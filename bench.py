@@ -140,12 +140,14 @@ def run_scaling() -> dict:
     out = f"/tmp/edh_ray_corpus/scaling_{n_base}"
     os.makedirs(out, exist_ok=True)
     corpus_dir, _ = write_corpus(out, n_base, seed=42, rows_per_file=20000)
-    # Default N=2 vs 4N=8: an independent multiprocessing probe (see
+    # Default N=4 vs 4N=16: an independent multiprocessing probe (see
     # BASELINE.md) shows this sandbox host sustains only ~6-8 effective
     # cores for mixed numpy workloads — aggregate throughput at 32 procs is
-    # BELOW 8 procs — so 8→32 measures host contention, not the engine.
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
+    # BELOW 8 procs — so 8→32 would measure host contention, not the
+    # engine. Levels below 4 CPUs starve the two actor pools (min 1 actor
+    # each) of task CPUs.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     r_lo = _run_subprocess(lo, corpus_dir)
     r_hi = _run_subprocess(hi, corpus_dir)
     tp_lo = r_lo["images_per_sec"]

@@ -21,7 +21,7 @@ from ..functions.codecs import (
     decode_image,
     encode_png,
 )
-from ..functions.hashing import dct_matrix, phash64, resize_gray
+from ..functions.hashing import dct_matrix, resize_gray
 
 
 class ImageDecodeStats:

@@ -9,13 +9,13 @@ connected component — deterministic):
   C-speed union-find with path compression. Edges are the *verified
   duplicates*, orders of magnitude smaller than the corpus, so this bound is
   generous in practice (2M edges ≈ 100 MB driver RAM).
-* **distributed path** — iterative hash-to-min label propagation over Ray
-  Datasets (Rastogi et al., "Finding Connected Components in Map-Reduce"
-  family): each round ships every node's current label to its neighbors via
-  ONE ``groupby(node)`` shuffle and takes the elementwise min; converges in
-  O(log n) rounds on near-dup graphs (hot buckets emit star edges, so
-  components have tiny diameter). Rounds stop at a fixpoint detected by an
-  aggregate count of changed labels.
+* **distributed path** — iterative min-label propagation over Ray Datasets
+  (the Hash-Min variant of the MapReduce connected-components family,
+  Rastogi et al. 2013): each round ships every node's current label to its
+  neighbors via one ``groupby(node)`` shuffle and takes the elementwise
+  min. Converges in O(component diameter) rounds; near-dup components have
+  tiny diameter because hot buckets emit star edges. Rounds stop at a
+  fixpoint detected by comparing label-multiset signatures.
 
 The assignment covers only nodes that appear in edges; singleton rows get
 ``cluster_id = image_id`` when the assignment is applied to the corpus
