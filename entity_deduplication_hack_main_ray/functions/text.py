@@ -137,6 +137,9 @@ def field_similarity_bound(
     total = 0.0
     for k in common:
         va, vb = fa[k], fb[k]
+        if va == vb:
+            total += 1.0
+            continue
         if ha is not None and hb is not None:
             hista, la = ha[k]
             histb, lb = hb[k]
@@ -175,6 +178,9 @@ def field_similarity(
     sims = []
     for k in common:
         va, vb = fa[k], fb[k]
+        if va == vb:  # SequenceMatcher.ratio(x, x) == 1.0; skip the O(n²) pass
+            sims.append(1.0)
+            continue
         s = seq_ratio(va, vb)
         if s < acronym_boost and acronym_match(va, vb):
             s = acronym_boost

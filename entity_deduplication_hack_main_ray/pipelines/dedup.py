@@ -70,8 +70,10 @@ def compute_edges(
     )
     # Ray's sort-based groupby inherits the upstream block count as its
     # partition count; explode emits few fat blocks, which would serialize
-    # the shuffle+verify stages — split first so the wide stages fan out
-    shuffle_parallelism = min(num_partitions, 2 * _cluster_cpus())
+    # the shuffle+verify stages — split first so the wide stages fan out.
+    # The fan-out is the PARTITION count (fixed, cluster-size independent:
+    # same physical plan at every parallelism level), not a CPU multiple.
+    shuffle_parallelism = num_partitions
     candidates = candidates.repartition(shuffle_parallelism)
     pairs = candidates.groupby("pkey").map_groups(
         lambda g: emit_pairs(g, cfg), batch_format="pyarrow"
@@ -84,8 +86,12 @@ def compute_edges(
     # drop_duplicates per partition — no per-group Python (a bare
     # groupby(pair).aggregate measured 30x slower at 10^5 groups).
     def add_pair_pkey(t: pa.Table) -> pa.Table:
+        # Knuth multiplicative mix of both id prefixes — duplicate pairs
+        # have CONSECUTIVE numeric ids, so any linear key (31a+b mod P)
+        # collapses them onto ~2 partitions (measured 4x straggler)
         pk = [
-            (int(a[:8], 10) * 31 + int(b[:8], 10)) % num_partitions
+            ((int(a[:8], 10) * 2654435761) ^ (int(b[:8], 10) * 2246822519))
+            % num_partitions
             if a[:8].isdigit() and b[:8].isdigit()
             else hash((a, b)) % num_partitions
             for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())
