@@ -80,6 +80,13 @@ def run_bench(num_cpus: int) -> dict:
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
 
+    # untimed warmup on a tiny corpus: spawns the worker pool, imports the
+    # package in every worker, faults numpy scratch pages — so the timed
+    # run measures the pipeline, not process bring-up
+    warm_dir, _ = corpus_for_sf("/root/testdata/sf0.001")
+    _, warm_clusters = dedup_pipeline(warm_dir, PipelineConfig(), num_partitions=16)
+    warm_clusters.count()
+
     t0 = time.monotonic()
     _, clusters = dedup_pipeline(corpus_dir, PipelineConfig(), num_partitions=max(64, num_cpus * 4))
     n_clusters = clusters.count()

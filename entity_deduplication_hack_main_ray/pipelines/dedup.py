@@ -51,9 +51,11 @@ def compute_signatures(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size if with_bytes else cfg.batch_size,
-        # autoscaling pool sized to the cluster: min 1 actor so the read
-        # stage is never starved of CPUs on small clusters; max = all CPUs
-        concurrency=(1, _cluster_cpus()),
+        # autoscaling pool sized to the cluster: start quarter-provisioned so
+        # the pool is productive immediately (ramping from 1 actor wastes a
+        # large slice of short runs), cap at all CPUs, and always leave the
+        # read stage at least one free CPU on small clusters
+        concurrency=(max(1, _cluster_cpus() // 4), _cluster_cpus()),
     )
 
 
@@ -117,7 +119,7 @@ def compute_edges(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, _cluster_cpus()),
+        concurrency=(max(1, _cluster_cpus() // 4), _cluster_cpus()),
     )
 
 
