@@ -103,7 +103,14 @@ def compute_edges(
     import pandas as pd
 
     def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["id_a", "id_b"]).drop(columns=["pair_pkey"])
+        # sort by id_a: downstream verify batches then see contiguous id_a
+        # runs, so the actor-level doc-feature cache hits instead of
+        # rebuilding features for randomly scattered docs
+        return (
+            df.drop_duplicates(["id_a", "id_b"])
+            .sort_values(["id_a", "id_b"])
+            .drop(columns=["pair_pkey"])
+        )
 
     unique_pairs = (
         pairs.map_batches(add_pair_pkey, batch_format="pyarrow")
