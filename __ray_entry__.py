@@ -20,8 +20,21 @@ from typing import Any
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
-# Ray workers must be able to import the package
+# Ray workers must be able to run the package's stage callables. The driver
+# may have called ray.init() BEFORE importing this module, so exporting
+# PYTHONPATH here cannot reach already-started raylets — instead register
+# the package for cloudpickle BY-VALUE serialization: every shipped class/
+# function carries its code, and workers never import the package at all.
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+import entity_deduplication_hack_main_ray as _pkg  # noqa: E402
+
+try:
+    from ray import cloudpickle as _rcp
+
+    _rcp.register_pickle_by_value(_pkg)
+except Exception:  # pragma: no cover - older cloudpickle
+    pass
 
 
 def entry() -> Any:
