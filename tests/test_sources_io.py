@@ -1,0 +1,35 @@
+import os
+
+import pyarrow.parquet as pq
+
+from entity_deduplication_hack_main_ray.sources.io import (
+    read_corpus,
+    read_golden,
+    write_partitioned,
+)
+
+
+def test_read_corpus_column_pruning(ray_session, tiny_corpus):
+    corpus_dir, _ = tiny_corpus
+    ds = read_corpus(corpus_dir, ["image_id", "caption"])
+    assert set(ds.schema().names) == {"image_id", "caption"}
+
+
+def test_read_golden(ray_session, tiny_corpus):
+    _, golden_path = tiny_corpus
+    ds = read_golden(golden_path)
+    assert set(ds.schema().names) == {
+        "original_id", "duplicate_id", "variation_type", "field_name",
+    }
+    assert ds.count() == pq.read_metadata(golden_path).num_rows
+
+
+def test_write_partitioned(ray_session, tiny_corpus, tmp_path):
+    corpus_dir, _ = tiny_corpus
+    out = str(tmp_path / "out")
+    ds = read_corpus(corpus_dir, ["image_id"])
+    write_partitioned(ds, out, min_rows_per_file=64)
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert parts, "directory of part files, never one giant file"
+    total = sum(pq.read_metadata(os.path.join(out, f)).num_rows for f in parts)
+    assert total == ds.count()

@@ -1,0 +1,97 @@
+"""Semantic tests for the documents-dedup family and ANN pipelines beyond
+the rows-only driver checks."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_keeps_min_doc_id(ray_session):
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import exact_dedup
+
+    out = exact_dedup(SF)
+    con = duckdb.connect()
+    expected = con.execute(
+        f"SELECT MIN(doc_id) AS doc_id, text FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY text ORDER BY doc_id"
+    ).fetchdf()
+    assert len(out) == len(expected)
+    assert out["doc_id"].tolist() == expected["doc_id"].tolist()
+
+
+def test_minhash_lsh_groups_exact_duplicates(ray_session):
+    """Any two docs with IDENTICAL text must land in one cluster (their
+    MinHash signatures are identical, so they share every band bucket)."""
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        minhash_lsh_dedup,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    clusters = minhash_lsh_dedup(SF).set_index("doc_id")["cluster_id"]
+    by_text = docs.groupby("text")["doc_id"].apply(list)
+    checked = 0
+    for ids in by_text:
+        if len(ids) > 1:
+            assert len({clusters[i] for i in ids}) == 1
+            checked += 1
+    # deterministic across runs
+    again = minhash_lsh_dedup(SF).set_index("doc_id")["cluster_id"]
+    assert clusters.equals(again)
+
+
+def test_ngram_jaccard_pairs_above_threshold(ray_session):
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    out = ngram_jaccard_pairs(SF, threshold=0.5)
+    assert (out["jaccard"] >= 0.5).all()
+    assert (out["id_a"] < out["id_b"]).all()  # canonical pairs
+
+
+def test_simhash_near_pairs_hamming_bound(ray_session):
+    from entity_deduplication_hack_main_ray.functions.hashing import hamming64
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        simhash_near_pairs,
+        simhash_signatures_table,
+    )
+
+    pairs = simhash_near_pairs(SF, max_hamming=3)
+    sims = simhash_signatures_table(SF).set_index("doc_id")["simhash"]
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        d = hamming64(
+            np.array([np.uint64(sims[a] % 2**64)]),
+            np.array([np.uint64(sims[b] % 2**64)]),
+        )[0]
+        assert d <= 3
+
+
+def test_ann_lsh_subset_of_brute_force_candidates(ray_session):
+    """The LSH variant's reported neighbors must be true vectors with
+    correctly computed cosine (validated against brute force rows)."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        brute_force_cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    bf = brute_force_cosine_topk(SF, n_queries=2, k=5)
+    lsh = lsh_bucketed_topk(SF, n_queries=2, k=5)
+    bf_scores = {(q, v): s for q, v, s in zip(bf["query_id"], bf["vec_id"], bf["cos_sim"])}
+    # every LSH hit that brute force also ranked must agree on the score
+    merged = pd.merge(lsh, bf, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
+    if len(merged):
+        assert np.allclose(merged["cos_sim_l"], merged["cos_sim_b"], atol=2e-6)
+
+
+def test_embedding_near_dup_pairs_threshold(ray_session):
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        embedding_near_dup_pairs,
+    )
+
+    out = embedding_near_dup_pairs(SF, threshold=0.9)
+    assert (out["cos_sim"] >= 0.9).all() if len(out) else True
