@@ -306,7 +306,11 @@ def quality_features(text: str) -> tuple[int, float, float, float]:
 def fingerprint64(text: str, window: int = 8) -> int:
     """Winnowing-style document fingerprint: min rolling-hash over windows,
     folded to 64 bits — stable under small edits away from the min site."""
-    from .hashing import shingle_hashes  # local import to avoid cycle
-
-    v = int(shingle_hashes(text, window, seed=0x51).min())
+    # module-level import (bottom of file) — a function-local package import
+    # would re-import by name inside Ray workers, defeating the by-value
+    # pickling the driver contract relies on
+    v = int(_shingle_hashes(text, window, seed=0x51).min())
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+from .hashing import shingle_hashes as _shingle_hashes  # noqa: E402

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..functions import text as tx
-from ..functions.codecs import decode_image, psnr
+from ..functions.codecs import decode_image, encode_fake_jpeg, psnr
 from ..functions.hashing import (
     all_candidate_keys,
     block_keys,
@@ -141,8 +141,6 @@ class MediaValidator:
         self.dct = dct_matrix(32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.codecs import encode_fake_jpeg
-
         ids = batch["image_id"].to_pylist()
         blobs = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
