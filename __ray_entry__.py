@@ -185,16 +185,18 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     ROUND(LIST_COSINE_SIMILARITY(e.embedding, q.qe), 6) AS cos_sim,
+                     CAST(FLOOR(LIST_COSINE_SIMILARITY(e.embedding, q.qe)
+                                * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6,
                      ROW_NUMBER() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY LIST_COSINE_SIMILARITY(e.embedding, q.qe) DESC,
+                       ORDER BY CAST(FLOOR(LIST_COSINE_SIMILARITY(e.embedding, q.qe)
+                                           * 1000000 + 0.5) AS BIGINT) DESC,
                                 e.vec_id ASC
                      ) AS rn
               FROM embeddings e CROSS JOIN q
               WHERE e.vec_id <> q.query_id
             )
-            SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 5
+            SELECT query_id, vec_id, cos_sim_e6 FROM scored WHERE rn <= 5
         """,
         # doc_quality / lang_distribution / doc_fingerprints /
         # minhash_lsh_dedup_docs / simhash_* / ngram_jaccard_pairs /

@@ -1,10 +1,19 @@
 """Similarity search over the ``embeddings`` table (list<float> column).
 
 Brute-force cosine top-k is the baseline: the query matrix is broadcast once
-via ``ray.put`` and every batch does one numpy matmul — no shuffle, linear
-scan, embarrassingly parallel. The LSH-bucketed variant is the scale path:
-random-hyperplane signs bucket the corpus so each query probes only its
-bucket (documented approximation).
+via ``ray.put`` and every batch does one numpy matmul plus a PER-BATCH partial
+top-k, so only ``n_queries * k`` rows leave each batch — no shuffle at all,
+the driver merges a few hundred candidate rows. The LSH-bucketed variant is
+the scale path: random-hyperplane signs bucket the corpus so each query
+probes only its bucket. ``embedding_near_dup_pairs`` is fully distributed:
+bucket assignment in ``map_batches``, within-bucket exact cosine in
+``groupby(bucket).map_groups`` (each vector lives in exactly one bucket, so
+the pair set needs no dedup exchange).
+
+Scores are emitted as integer ``cos_sim_e6 = floor(cos * 1e6 + 0.5)`` — the
+one rounding rule shared with the DuckDB oracle SQL — so value hashes cannot
+diverge on float rounding mode (round-half-even vs half-away) or summation
+order.
 """
 
 from __future__ import annotations
@@ -21,7 +30,48 @@ def _emb(sf_dir: str) -> ray.data.Dataset:
 
 
 def _stack(col) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float64 matrix, zero-copy when the
+    list is rectangular (single flat buffer + constant stride)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        offsets = (
+            None
+            if isinstance(col, pa.FixedSizeListArray)
+            else np.diff(col.offsets.to_numpy())
+        )
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if offsets is None:
+            return flat.reshape(len(col), -1).astype(np.float64, copy=False)
+        if len(offsets) and (offsets == offsets[0]).all():
+            return flat.reshape(len(col), int(offsets[0])).astype(
+                np.float64, copy=False
+            )
+        col = col.to_pylist()
     return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _e6(x: np.ndarray) -> np.ndarray:
+    """floor(x*1e6 + 0.5) — the rounding rule mirrored by the oracle SQL
+    (``CAST(FLOOR(... * 1000000 + 0.5) AS BIGINT)``)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def _lowest_vec_rows(ds: ray.data.Dataset, n: int) -> pd.DataFrame:
+    """The ``n`` lowest vec_ids WITHOUT a global sort: per-batch partial
+    min-n, tiny driver merge (the deterministic query-set convention)."""
+
+    def batch_min(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        if len(vid) > n:
+            keep = np.argsort(vid, kind="stable")[:n]
+            return t.take(pa.array(keep))
+        return t
+
+    parts = ds.map_batches(batch_min, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values("vec_id").head(n).reset_index(drop=True)
+    )
 
 
 def brute_force_cosine_topk(
@@ -29,45 +79,50 @@ def brute_force_cosine_topk(
 ) -> pd.DataFrame:
     """Exact cosine top-k: queries = the ``n_queries`` lowest vec_ids.
 
-    Returns (query_id, vec_id, cos_sim) — self-matches excluded; cos_sim
-    rounded to 6 dp so the DuckDB oracle (float64 on the same lists)
-    hash-compares exactly.
+    Returns (query_id, vec_id, cos_sim_e6) — self-matches excluded. Ranking
+    uses (cos_sim_e6 DESC, vec_id ASC) in BOTH the per-batch partial top-k
+    and the driver merge, identically to the oracle SQL's ROW_NUMBER order,
+    so engine and oracle select and hash the same rows.
     """
     ds = _emb(sf_dir)
-    qrows = ds.sort("vec_id").limit(n_queries).to_pandas()
+    qrows = _lowest_vec_rows(ds, n_queries)
     Q = _stack(qrows["embedding"])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qids = qrows["vec_id"].to_numpy()
     ref = ray.put((qids, Qn))
 
-    def score(t: pa.Table) -> pa.Table:
+    def score_topk(t: pa.Table) -> pa.Table:
         qids_, Qn_ = ray.get(ref)
-        V = _stack(t["embedding"].to_pylist())
+        V = _stack(t["embedding"])
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        sims = Vn @ Qn_.T  # (batch, nq)
+        sims_e6 = _e6(Vn @ Qn_.T)  # (batch, nq)
         vid = t["vec_id"].to_numpy(zero_copy_only=False)
-        nq = len(qids_)
+        q_out, v_out, s_out = [], [], []
+        for qi, qid in enumerate(qids_):
+            col = sims_e6[:, qi]
+            mask = vid != qid  # exclude self-match
+            v_m, s_m = vid[mask], col[mask]
+            order = np.lexsort((v_m, -s_m))[:k]
+            q_out.append(np.full(len(order), qid, dtype=np.int64))
+            v_out.append(v_m[order])
+            s_out.append(s_m[order])
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(qids_, len(vid)), pa.int64()),
-                "vec_id": pa.array(np.tile(vid, nq), pa.int64()),
-                "cos_sim": pa.array(sims.T.ravel(), pa.float64()),
+                "query_id": pa.array(np.concatenate(q_out), pa.int64()),
+                "vec_id": pa.array(np.concatenate(v_out), pa.int64()),
+                "cos_sim_e6": pa.array(np.concatenate(s_out), pa.int64()),
             }
         )
 
-    def topk_per_query(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["vec_id"] != g["query_id"]]
-        return g.sort_values(
-            ["cos_sim", "vec_id"], ascending=[False, True]
-        ).head(k)
-
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
     out = (
-        ds.map_batches(score, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(topk_per_query, batch_format="pandas")
-        .to_pandas()
+        cand.sort_values(
+            ["query_id", "cos_sim_e6", "vec_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
     )
-    out["cos_sim"] = out["cos_sim"].round(6)
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
@@ -79,12 +134,12 @@ def lsh_bucketed_topk(
     seed: int = 42,
 ) -> pd.DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets; each query scans
-    only vectors sharing its sign-bucket (plus the query rows themselves).
-    The scale path for 10^9+ vectors — per-bucket scan instead of full scan.
-    Returns (query_id, vec_id, cos_sim) with the same schema as brute force.
+    only vectors sharing its sign-bucket. The scale path for 10^9+ vectors —
+    per-bucket scan instead of full scan, same per-batch partial top-k and
+    (query_id, vec_id, cos_sim_e6) schema as brute force.
     """
     ds = _emb(sf_dir)
-    qrows = ds.sort("vec_id").limit(n_queries).to_pandas()
+    qrows = _lowest_vec_rows(ds, n_queries)
     Q = _stack(qrows["embedding"])
     dim = Q.shape[1]
     rng = np.random.default_rng(seed)
@@ -95,74 +150,133 @@ def lsh_bucketed_topk(
     qids = qrows["vec_id"].to_numpy()
     ref = ray.put((qids, Qn, planes, qbucket))
 
-    def score(t: pa.Table) -> pa.Table:
+    def score_topk(t: pa.Table) -> pa.Table:
         qids_, Qn_, planes_, qbucket_ = ray.get(ref)
-        V = _stack(t["embedding"].to_pylist())
+        V = _stack(t["embedding"])
         sig = (V @ planes_ > 0).astype(np.uint8)
         bucket = np.packbits(sig, axis=1, bitorder="little")[:, 0]
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         vid = t["vec_id"].to_numpy(zero_copy_only=False)
         q_out, v_out, s_out = [], [], []
         for qi, qb in enumerate(qbucket_):
-            mask = bucket == qb
+            mask = (bucket == qb) & (vid != qids_[qi])
             if not mask.any():
                 continue
-            sims = Vn[mask] @ Qn_[qi]
-            q_out.extend([qids_[qi]] * int(mask.sum()))
-            v_out.extend(vid[mask].tolist())
-            s_out.extend(sims.tolist())
+            sims_e6 = _e6(Vn[mask] @ Qn_[qi])
+            v_m = vid[mask]
+            order = np.lexsort((v_m, -sims_e6))[:k]
+            q_out.append(np.full(len(order), qids_[qi], dtype=np.int64))
+            v_out.append(v_m[order])
+            s_out.append(sims_e6[order])
+        if not q_out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim_e6": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "query_id": pa.array(q_out, pa.int64()),
-                "vec_id": pa.array(v_out, pa.int64()),
-                "cos_sim": pa.array(s_out, pa.float64()),
+                "query_id": pa.array(np.concatenate(q_out), pa.int64()),
+                "vec_id": pa.array(np.concatenate(v_out), pa.int64()),
+                "cos_sim_e6": pa.array(np.concatenate(s_out), pa.int64()),
             }
         )
 
-    def topk_per_query(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["vec_id"] != g["query_id"]]
-        return g.sort_values(
-            ["cos_sim", "vec_id"], ascending=[False, True]
-        ).head(k)
-
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
     out = (
-        ds.map_batches(score, batch_format="pyarrow")
-        .groupby("query_id")
-        .map_groups(topk_per_query, batch_format="pandas")
-        .to_pandas()
+        cand.sort_values(
+            ["query_id", "cos_sim_e6", "vec_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
     )
-    out["cos_sim"] = out["cos_sim"].round(6)
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
 def embedding_near_dup_pairs(
     sf_dir: str, threshold: float = 0.98, n_planes: int = 12, seed: int = 42
 ) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets →
-    within-bucket exact cosine ≥ threshold. Returns (id_a, id_b, cos_sim)."""
+    """Embedding-cosine near-duplicate pairs, fully distributed: hyperplane
+    LSH bucket per vector in ``map_batches`` → ONE ``groupby(bucket)``
+    shuffle (embeddings carried as payload) → within-bucket exact cosine ≥
+    threshold via a tiled matmul. Each vector lives in exactly one bucket, so
+    every pair is generated exactly once — no dedup exchange.
+
+    Returns (id_a, id_b, cos_sim_e6). Partitioning assumption: bucket sizes
+    stay ≪ corpus (12 planes → 4096 buckets; skewed corpora need more planes
+    or a second-level split — bucket population is the knob, not the driver).
+    """
     ds = _emb(sf_dir)
-    rows = ds.to_pandas()
-    V = _stack(rows["embedding"])
-    ids = rows["vec_id"].to_numpy()
+    dim = len(ds.take(1)[0]["embedding"])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((V.shape[1], n_planes))
-    bucket = np.packbits((V @ planes > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0].astype(np.int64)
-    # note: driver-side at fixture scale; the Ray path buckets via
-    # map_batches + groupby(bucket) identically (see lsh_bucketed_topk)
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    out = []
-    for b in np.unique(bucket):
-        idx = np.nonzero(bucket == b)[0]
-        if len(idx) < 2:
-            continue
-        sims = Vn[idx] @ Vn[idx].T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
-        for i, j in zip(ii, jj):
-            a, c = sorted((int(ids[idx[i]]), int(ids[idx[j]])))
-            out.append((a, c, round(float(sims[i, j]), 6)))
+    planes = rng.standard_normal((dim, n_planes))
+    ref = ray.put(planes)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        planes_ = ray.get(ref)
+        V = _stack(t["embedding"])
+        sig = (V @ planes_ > 0).astype(np.uint8)
+        packed = np.packbits(
+            np.pad(sig, ((0, 0), (0, (-sig.shape[1]) % 8))),
+            axis=1, bitorder="little",
+        )
+        bucket = packed[:, :2].astype(np.int64) @ np.array([1, 256])
+        return t.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    thr_e6 = int(np.floor(threshold * 1e6 + 0.5))
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cos_sim_e6": pa.array([], pa.int64()),
+                }
+            )
+        V = _stack(g["embedding"])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        a_out, b_out, s_out = [], [], []
+        tile = 2048  # bound the (n×n) similarity block to tile×n
+        for s in range(0, n, tile):
+            block = Vn[s : s + tile] @ Vn.T
+            sims_e6 = _e6(block)
+            ii, jj = np.nonzero(sims_e6 >= thr_e6)
+            keep = (ii + s) < jj  # strict upper triangle in global indices
+            ii, jj = ii[keep], jj[keep]
+            ga, gb = ids[ii + s], ids[jj]
+            lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+            a_out.append(lo)
+            b_out.append(hi)
+            s_out.append(sims_e6[ii, jj])
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "cos_sim_e6": pa.array(np.concatenate(s_out), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim_e6": pd.Series(dtype="int64"),
+            }
+        )
     return (
-        pd.DataFrame(out, columns=["id_a", "id_b", "cos_sim"])
-        .drop_duplicates(["id_a", "id_b"])
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+        out.sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)[["id_a", "id_b", "cos_sim_e6"]]
     )

@@ -81,11 +81,10 @@ def test_ann_lsh_subset_of_brute_force_candidates(ray_session):
 
     bf = brute_force_cosine_topk(SF, n_queries=2, k=5)
     lsh = lsh_bucketed_topk(SF, n_queries=2, k=5)
-    bf_scores = {(q, v): s for q, v, s in zip(bf["query_id"], bf["vec_id"], bf["cos_sim"])}
     # every LSH hit that brute force also ranked must agree on the score
     merged = pd.merge(lsh, bf, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
     if len(merged):
-        assert np.allclose(merged["cos_sim_l"], merged["cos_sim_b"], atol=2e-6)
+        assert (merged["cos_sim_e6_l"] == merged["cos_sim_e6_b"]).all()
 
 
 def test_embedding_near_dup_pairs_threshold(ray_session):
@@ -94,4 +93,32 @@ def test_embedding_near_dup_pairs_threshold(ray_session):
     )
 
     out = embedding_near_dup_pairs(SF, threshold=0.9)
-    assert (out["cos_sim"] >= 0.9).all() if len(out) else True
+    assert (out["cos_sim_e6"] >= 900000).all() if len(out) else True
+    # distributed result == single-process numpy reference (same planes/seed)
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.vstack([np.asarray(v, dtype=np.float64) for v in rows["embedding"]])
+    ids = rows["vec_id"].to_numpy()
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((V.shape[1], 12))
+    sig = (V @ planes > 0).astype(np.uint8)
+    packed = np.packbits(
+        np.pad(sig, ((0, 0), (0, (-sig.shape[1]) % 8))), axis=1,
+        bitorder="little",
+    )
+    bucket = packed[:, :2].astype(np.int64) @ np.array([1, 256])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    expected = set()
+    for b in np.unique(bucket):
+        idx = np.nonzero(bucket == b)[0]
+        if len(idx) < 2:
+            continue
+        sims = Vn[idx] @ Vn[idx].T
+        e6 = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        ii, jj = np.nonzero(np.triu(e6 >= 900000, 1))
+        for i, j in zip(ii, jj):
+            a, c = sorted((int(ids[idx[i]]), int(ids[idx[j]])))
+            expected.add((a, c, int(e6[i, j])))
+    got = set(zip(out["id_a"], out["id_b"], out["cos_sim_e6"]))
+    assert got == expected
