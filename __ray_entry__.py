@@ -185,11 +185,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     CAST(FLOOR(LIST_COSINE_SIMILARITY(e.embedding, q.qe)
+                     CAST(FLOOR(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
                                 * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6,
                      ROW_NUMBER() OVER (
                        PARTITION BY q.query_id
-                       ORDER BY CAST(FLOOR(LIST_COSINE_SIMILARITY(e.embedding, q.qe)
+                       ORDER BY CAST(FLOOR(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
                                            * 1000000 + 0.5) AS BIGINT) DESC,
                                 e.vec_id ASC
                      ) AS rn

@@ -33,12 +33,44 @@ from .functions.hashing import (
 from .state.unionfind import UnionFind
 
 
+_KEY_PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def owned_pair_mask(
+    arr_i: np.ndarray,
+    arr_j: np.ndarray,
+    arr_k: np.ndarray,
+    key_rows: np.ndarray,
+) -> np.ndarray:
+    """Vectorized min-shared-key ownership test.
+
+    ``key_rows`` is an (n_members, Kmax) uint64 matrix of each member's FULL
+    candidate-key set padded with ``_KEY_PAD``; ``arr_k[p]`` is the (uint64)
+    key of the bucket that generated pair ``p = (arr_i[p], arr_j[p])``. The
+    pair is OWNED by the bucket whose key equals the minimum key shared by
+    both members — so across all buckets (and all shuffle partitions) each
+    pair survives exactly once, which is what lets the engine skip the
+    pair-dedup exchange entirely. The pad can never win the min because the
+    generating bucket key itself is always shared.
+    """
+    out = np.empty(len(arr_i), dtype=bool)
+    CH = 8192  # bound the (chunk, K, K) broadcast to a few MB
+    for s in range(0, len(arr_i), CH):
+        Ka = key_rows[arr_i[s : s + CH]]  # (c, K)
+        Kb = key_rows[arr_j[s : s + CH]]
+        eq = Ka[:, :, None] == Kb[:, None, :]
+        shared = np.where(eq, np.broadcast_to(Ka[:, :, None], eq.shape), _KEY_PAD)
+        out[s : s + CH] = shared.min(axis=(1, 2)) == arr_k[s : s + CH]
+    return out
+
+
 def candidate_pairs_from_buckets(
     buckets: dict[int, list[int]],
     digests: np.ndarray,
     max_bucket: int,
     max_refined: int,
     sort_key: list[str],
+    key_rows: np.ndarray | None = None,
 ) -> tuple[set[tuple[int, int]], dict[str, int]]:
     """Shared candidate-pair policy (oracle AND engine call this).
 
@@ -55,10 +87,27 @@ def candidate_pairs_from_buckets(
         ``max_refined`` id-sorted representatives, the remainder chained to
         the last kept representative (connectivity preserved, quadratic cost
         bounded; drops are counted, not silent).
+
+    When ``key_rows`` is given (an (n, Kmax) uint64 padded matrix of every
+    member's full key set — bucket keys must then be uint64-valued ints),
+    each generated pair is kept only in the bucket owning it per
+    ``owned_pair_mask``: the pair set becomes globally duplicate-free, so
+    the engine needs NO pair-dedup shuffle and verifies each pair exactly
+    once. A pair whose owning bucket is hot and digest-refined away is
+    dropped everywhere — the oracle applies the identical rule, so engine ≡
+    oracle by construction (the e2e equality tests re-assert it).
     """
-    pairs: set[tuple[int, int]] = set()
     stats = {"buckets": 0, "hot_buckets": 0, "capped_reps": 0}
-    for members in buckets.values():
+    raw_i: list[int] = []
+    raw_j: list[int] = []
+    raw_k: list[int] = []
+
+    def emit(bkey: int, i: int, j: int) -> None:
+        raw_i.append(i)
+        raw_j.append(j)
+        raw_k.append(bkey)
+
+    for bkey, members in buckets.items():
         if len(members) < 2:
             continue
         stats["buckets"] += 1
@@ -66,7 +115,7 @@ def candidate_pairs_from_buckets(
         if len(ms) <= max_bucket:
             for i in range(len(ms)):
                 for j in range(i + 1, len(ms)):
-                    pairs.add((ms[i], ms[j]))
+                    emit(bkey, ms[i], ms[j])
             continue
         stats["hot_buckets"] += 1
         sub: dict[int, list[int]] = defaultdict(list)
@@ -76,18 +125,29 @@ def candidate_pairs_from_buckets(
         for g in sub.values():
             reps.append(g[0])
             for other in g[1:]:
-                pairs.add((g[0], other))
+                emit(bkey, g[0], other)
         reps.sort(key=lambda m: sort_key[m])
         kept, rest = reps[:max_refined], reps[max_refined:]
         stats["capped_reps"] += len(rest)
         for i in range(len(kept)):
             for j in range(i + 1, len(kept)):
-                pairs.add((kept[i], kept[j]))
+                emit(bkey, kept[i], kept[j])
         anchor = kept[-1] if kept else None
         for r in rest:  # chain: keeps the bucket connected without N²
             if anchor is not None:
-                pairs.add((anchor, r))
+                emit(bkey, anchor, r)
             anchor = r
+
+    if key_rows is None:
+        pairs = set(zip(raw_i, raw_j))
+        return pairs, stats
+    if not raw_i:
+        return set(), stats
+    ai = np.array(raw_i, dtype=np.int64)
+    aj = np.array(raw_j, dtype=np.int64)
+    ak = np.array(raw_k, dtype=np.uint64)
+    own = owned_pair_mask(ai, aj, ak, key_rows)
+    pairs = set(zip(ai[own].tolist(), aj[own].tolist()))
     return pairs, stats
 
 
@@ -203,8 +263,17 @@ def oracle_match(
             buckets[int(bandkey)].append(i)
         for bkey in blocks[i]:
             buckets[bkey].append(i)
+    # full key matrix (pad = _KEY_PAD) → min-shared-key pair ownership, the
+    # same rule the engine's emit stage applies per shuffle partition
+    n_band = bk.shape[1]
+    max_bl = max((len(b) for b in blocks), default=0)
+    key_rows = np.full((n, n_band + max_bl), _KEY_PAD, dtype=np.uint64)
+    key_rows[:, :n_band] = bk
+    for i, bl in enumerate(blocks):
+        if bl:
+            key_rows[i, n_band : n_band + len(bl)] = np.array(bl, dtype=np.uint64)
     pairs, _ = candidate_pairs_from_buckets(
-        buckets, digests, cfg.max_bucket, cfg.max_refined, ids
+        buckets, digests, cfg.max_bucket, cfg.max_refined, ids, key_rows
     )
 
     # per-doc field parses (computed above for blocking) are amortized across

@@ -1,15 +1,34 @@
 """The flagship pipeline: near-duplicate detection + clustering over the
 image+caption corpus (BASELINE.json north_star).
 
-Physical plan (all Ray Data, streaming):
+Physical plan (all Ray Data, streaming, ONE wide shuffle):
 
     read_corpus (column-pruned)
-      → map_batches(Signer, concurrency=K)          # stateful actor pool
-      → map_batches(explode_keys)                   # zero-copy Arrow explode
-      → groupby(pkey).map_groups(emit_and_verify)   # THE shuffle + verify
-      → groupby(id_a,id_b).first                    # edge dedup (A5)
-      → union-find (driver or distributed)          # clusters
-      → corpus ∪ assignments                        # broadcast lookup (B5)
+      → map_batches(sign)                            # task pool, fuses w/ read
+      → map_batches(explode_keys)                    # zero-copy Arrow explode
+      → groupby(pkey).map_groups(emit_pairs)         # THE shuffle; min-shared-
+                                                     #   key ownership → pairs
+                                                     #   globally unique
+      → map_batches(verify_batch)                    # task pool, fuses w/ emit
+      → union-find (driver or distributed)           # clusters
+      → corpus ∪ assignments                         # broadcast lookup (B5)
+
+Design notes (measured on the 190k-row scaling corpus, 16 CPUs):
+
+* Round 1 had a second sort exchange deduplicating pairs (the same pair
+  reaches several band buckets). Min-shared-key ownership (see
+  ``oracle.owned_pair_mask``) makes each pair survive in exactly one bucket
+  — the dedup exchange (~17 s) is gone and verify still sees each pair
+  once.
+* Signature + verify stages are TASK pools with lazy per-worker-process
+  state, not actor pools: their state (seeded hash coefficients, parse
+  caches) builds in microseconds, so the actor pool bought nothing and cost
+  actor spawn + package import per pipeline run plus an autoscaling ramp
+  (measured: signatures 8.7 s actor vs 6.1 s task; verify 13.9 s actor
+  machinery vs 4.5 s task kernel). Task pools also let Ray fuse the stage
+  with its upstream operator — no extra serialization hop. Actor pools
+  remain the right call for genuinely expensive state (see
+  ``pipelines/multimodal.py``'s decoders).
 
 Per-stage checkpoints (signatures / edges / clusters) via
 ``state.checkpoint.run_stage`` when ``ckpt_dir`` is given; resume skips
@@ -21,6 +40,7 @@ Semantics are bit-identical to ``oracle.oracle_match`` at the same
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -31,31 +51,31 @@ from ..sources.io import read_corpus
 from ..stages.candidates import explode_keys
 from ..stages.cluster import cluster_assignments
 from ..stages.signer import Signer
-from ..stages.verify import VerifyPairs, emit_pairs
+from ..stages.verify import emit_pairs, verify_batch
 from ..state.checkpoint import fingerprint_input, run_stage
 
+# Per-worker-process Signer cache (task-pool state): hash coefficients and
+# the DCT basis build once per worker per config, then serve every batch.
+_SIGNERS: dict[str, Signer] = {}
 
-def _cluster_cpus() -> int:
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        return 8
+
+def _signer_for(cfg: PipelineConfig, chash: str) -> Signer:
+    s = _SIGNERS.get(chash)
+    if s is None:
+        s = _SIGNERS[chash] = Signer(cfg)
+    return s
 
 
 def compute_signatures(
     corpus: ray.data.Dataset, cfg: PipelineConfig, with_bytes: bool = False
 ) -> ray.data.Dataset:
-    """Signature stage: actor pool, zero-copy Arrow batches."""
+    """Signature stage: task-pool map_batches (fuses with the read), lazy
+    per-worker state."""
+    chash = cfg.config_hash()
     return corpus.map_batches(
-        Signer,
-        fn_constructor_kwargs={"cfg": cfg},
+        lambda t: _signer_for(cfg, chash)(t),
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size if with_bytes else cfg.batch_size,
-        # autoscaling pool sized to the cluster: start quarter-provisioned so
-        # the pool is productive immediately (ramping from 1 actor wastes a
-        # large slice of short runs), cap at all CPUs, and always leave the
-        # read stage at least one free CPU on small clusters
-        concurrency=(max(1, _cluster_cpus() // 4), _cluster_cpus()),
     )
 
 
@@ -64,7 +84,9 @@ def compute_edges(
     cfg: PipelineConfig,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
-    """Candidate explode → partitioned bucket verify → deduped edges."""
+    """Candidate explode → ONE partitioned shuffle → owned unique pairs →
+    task-pool verify. No pair-dedup exchange (ownership guarantees global
+    pair uniqueness)."""
     candidates = signatures.map_batches(
         lambda t: explode_keys(t, num_partitions),
         batch_format="pyarrow",
@@ -72,61 +94,17 @@ def compute_edges(
     )
     # Ray's sort-based groupby inherits the upstream block count as its
     # partition count; explode emits few fat blocks, which would serialize
-    # the shuffle+verify stages — split first so the wide stages fan out.
+    # the shuffle+emit stages — split first so the wide stages fan out.
     # The fan-out is the PARTITION count (fixed, cluster-size independent:
     # same physical plan at every parallelism level), not a CPU multiple.
-    shuffle_parallelism = num_partitions
-    candidates = candidates.repartition(shuffle_parallelism)
+    candidates = candidates.repartition(num_partitions)
     pairs = candidates.groupby("pkey").map_groups(
         lambda g: emit_pairs(g, cfg), batch_format="pyarrow"
     )
-
-    # A5: exact dedup of pairs before verification — duplicate rows (same
-    # pair reached via several key families/partitions) are byte-identical,
-    # so keeping any one per (id_a, id_b) is deterministic. Hash-partition
-    # on the pair key (cheap numeric image_id prefix), then ONE vectorized
-    # drop_duplicates per partition — no per-group Python (a bare
-    # groupby(pair).aggregate measured 30x slower at 10^5 groups).
-    def add_pair_pkey(t: pa.Table) -> pa.Table:
-        # Knuth multiplicative mix of both id prefixes — duplicate pairs
-        # have CONSECUTIVE numeric ids, so any linear key (31a+b mod P)
-        # collapses them onto ~2 partitions (measured 4x straggler)
-        pk = [
-            ((int(a[:8], 10) * 2654435761) ^ (int(b[:8], 10) * 2246822519))
-            % num_partitions
-            if a[:8].isdigit() and b[:8].isdigit()
-            else hash((a, b)) % num_partitions
-            for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist())
-        ]
-        return t.append_column("pair_pkey", pa.array(pk, pa.int64()))
-
-    import pandas as pd
-
-    def dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
-        # sort by id_a: downstream verify batches then see contiguous id_a
-        # runs, so the actor-level doc-feature cache hits instead of
-        # rebuilding features for randomly scattered docs
-        return (
-            df.drop_duplicates(["id_a", "id_b"])
-            .sort_values(["id_a", "id_b"])
-            .drop(columns=["pair_pkey"])
-        )
-
-    unique_pairs = (
-        pairs.map_batches(add_pair_pkey, batch_format="pyarrow")
-        .repartition(shuffle_parallelism)
-        .groupby("pair_pkey")
-        .map_groups(dedup_partition, batch_format="pandas")
-    )
-    # actor pool sized to the cluster: the actor holds a cross-batch per-doc
-    # feature cache (a doc's parse + histograms are computed once per actor,
-    # not once per batch it appears in)
-    return unique_pairs.map_batches(
-        VerifyPairs,
-        fn_constructor_kwargs={"cfg": cfg},
+    return pairs.map_batches(
+        lambda t: verify_batch(t, cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(max(1, _cluster_cpus() // 4), _cluster_cpus()),
     )
 
 
@@ -139,7 +117,8 @@ def assignments_to_clusters(
 
     The assignment map covers only nodes incident to a verified edge —
     a small fraction of the corpus — so it is broadcast once via ``ray.put``
-    and looked up per batch (B5 broadcast pattern), not shuffled.
+    and looked up per batch (B5 broadcast pattern) with vectorized pandas
+    map (C-speed hash gather), not shuffled and not per-row Python.
     """
     if isinstance(assign, ray.data.Dataset):
         rows = assign.take_all()  # distributed path result; see docstring
@@ -151,14 +130,14 @@ def assignments_to_clusters(
 
     def apply(batch: pa.Table) -> pa.Table:
         amap, smap = ray.get(ref)
-        ids = batch["image_id"].to_pylist()
-        cids = [amap.get(i, i) for i in ids]
-        csz = [smap.get(c, 1) for c in cids]
+        ids = batch["image_id"].to_pandas()
+        cids = ids.map(amap).fillna(ids)
+        csz = cids.map(smap).fillna(1).astype("int32")
         return pa.table(
             {
-                "image_id": pa.array(ids, pa.string()),
-                "cluster_id": pa.array(cids, pa.string()),
-                "cluster_size": pa.array(csz, pa.int32()),
+                "image_id": pa.Array.from_pandas(ids, type=pa.string()),
+                "cluster_id": pa.Array.from_pandas(cids, type=pa.string()),
+                "cluster_size": pa.Array.from_pandas(csz, type=pa.int32()),
             }
         )
 
@@ -176,7 +155,8 @@ def dedup_pipeline(
 
     ``with_bytes=False`` prunes the wide ``bytes`` column at the read and
     trusts the corpus ``phash`` column (the production fast path);
-    ``with_bytes=True`` re-decodes every image in the Signer (fidelity path).
+    ``with_bytes=True`` re-decodes every image in the signature stage
+    (fidelity path).
     """
     cfg = cfg or PipelineConfig()
     chash = cfg.config_hash()

@@ -23,14 +23,20 @@ import pyarrow.compute as pc
 
 
 def explode_keys(batch: pa.Table, num_partitions: int) -> pa.Table:
-    """(signatures batch) → candidate rows: one row per (key, doc)."""
+    """(signatures batch) → candidate rows: one row per (key, doc).
+
+    Each exploded row also carries the doc's FULL key list (``keys``): the
+    pair-emit kernel needs it for min-shared-key pair ownership — the rule
+    that lets every pair be emitted exactly once across all partitions with
+    no pair-dedup exchange afterwards (see ``oracle.owned_pair_mask``).
+    """
     keys = batch["keys"]
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
     flat = keys.flatten()
     parent = pc.list_parent_indices(keys)
     taken = batch.select(
-        ["image_id", "caption_norm", "phash", "digest"]
+        ["image_id", "caption_norm", "phash", "digest", "keys"]
     ).take(parent)
     band_key = flat
     flat_np = flat.to_numpy(zero_copy_only=False).view(np.uint64)
@@ -45,5 +51,6 @@ def explode_keys(batch: pa.Table, num_partitions: int) -> pa.Table:
             "caption_norm": taken["caption_norm"],
             "phash": taken["phash"],
             "digest": taken["digest"],
+            "keys": taken["keys"],
         }
     )

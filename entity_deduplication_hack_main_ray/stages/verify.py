@@ -1,7 +1,7 @@
 """Pair generation + verification (SURVEY.md §2.4 B2, §2.6 F1-F6).
 
-Two stages with a vectorized dedup between them so every unique pair is
-verified EXACTLY once:
+Single-shuffle design — every unique candidate pair is generated AND
+verified exactly once, with no pair-dedup exchange:
 
 1. ``emit_pairs`` — runs inside ``groupby("pkey").map_groups``, one call per
    coarse partition: re-groups rows by full ``band_key`` (numpy argsort),
@@ -9,14 +9,23 @@ verified EXACTLY once:
    applies the SHARED candidate-pair policy
    (``oracle.candidate_pairs_from_buckets``: all-pairs for normal buckets,
    signature-digest refinement + star/chain for hot buckets — the explicit
-   skew handling), and emits *unverified* pair rows carrying both payloads.
-2. pair dedup — ``groupby(id_a, id_b).aggregate(Min(...))``: duplicate rows
-   are byte-identical, so Min reproduces the row; vectorized, no per-group
-   Python (SURVEY.md §2.5 A5).
-3. ``VerifyPairs`` — a ``map_batches`` stage applying the SHARED kernel
-   (``oracle.verify_pair``: exact/substring/near tiers, adaptive thresholds,
-   acronym boost, pHash Hamming, α-fusion) once per unique pair, with
-   per-batch field-parse caching keyed by image_id.
+   skew handling) WITH min-shared-key pair ownership
+   (``oracle.owned_pair_mask``): a pair is kept only in the bucket whose key
+   equals the minimum key shared by both docs, so across every bucket and
+   every shuffle partition the pair survives exactly once. This is what
+   deleted the round-1 pair-dedup sort exchange (measured ~17 s of the 190k
+   pipeline) — the ownership decision is local because each exploded row
+   carries its doc's full key list.
+2. ``verify_batch`` — a task-pool ``map_batches`` function applying the
+   SHARED kernel (``oracle.verify_pair``: exact/substring/near tiers,
+   adaptive thresholds, acronym boost, pHash Hamming, α-fusion) once per
+   pair, with a per-worker-process parse cache keyed by caption text.
+   Measured against the round-1 design (actor pool + batch-vectorized
+   histogram fast-reject): the plain per-pair kernel is ~1.6× faster per
+   pair (the 128-bin histogram machinery cost more than the exact kernel it
+   guarded) and the task pool reuses warm Ray workers instead of paying
+   actor spawn + import per pipeline run (measured 3.1× on the verify
+   stage at 16 CPUs).
 """
 
 from __future__ import annotations
@@ -26,7 +35,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..functions import text as tx
-from ..oracle import candidate_pairs_from_buckets, verify_pair
+from ..oracle import candidate_pairs_from_buckets, verify_pair, _KEY_PAD
 
 PAIR_SCHEMA = pa.schema(
     [
@@ -51,15 +60,32 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
+def _key_matrix(group: pa.Table) -> np.ndarray:
+    """``keys`` list column → (n_rows, Kmax) uint64 matrix padded with
+    ``_KEY_PAD`` (vectorized: one flatten + one masked scatter)."""
+    kcol = group["keys"]
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    values = kcol.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    lens = np.asarray(
+        pa.compute.list_value_length(kcol), dtype=np.int64
+    )
+    kmax = int(lens.max()) if len(lens) else 0
+    mat = np.full((len(lens), kmax), _KEY_PAD, dtype=np.uint64)
+    mask = np.arange(kmax)[None, :] < lens[:, None]
+    mat[mask] = values
+    return mat
+
+
 def emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    """One coarse partition of exploded candidate rows in → unverified,
-    within-partition-unique pair rows out."""
+    """One coarse partition of exploded candidate rows in → GLOBALLY unique
+    (min-shared-key-owned) pair rows out, payloads carried."""
     n = group.num_rows
     if n < 2:
         return PAIR_SCHEMA.empty_table()
 
     ids = group["image_id"].to_pylist()
-    band = group["band_key"].to_numpy(zero_copy_only=False)
+    band = group["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
 
     rep: dict[str, int] = {}
     for i, iid in enumerate(ids):
@@ -82,8 +108,9 @@ def emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     if not buckets:
         return PAIR_SCHEMA.empty_table()
 
+    key_rows = _key_matrix(group)
     pairs, _stats = candidate_pairs_from_buckets(
-        buckets, digests, cfg.max_bucket, cfg.max_refined, ids
+        buckets, digests, cfg.max_bucket, cfg.max_refined, ids, key_rows
     )
     if not pairs:
         return PAIR_SCHEMA.empty_table()
@@ -113,196 +140,65 @@ def emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     )
 
 
-class VerifyPairs:
-    """map_batches kernel: one verification per (unique) pair row.
+# Per-worker-process parse cache, keyed by the caption TEXT (parse_fields is
+# a pure function of the caption, so entries can never go stale across
+# pipelines/configs sharing the worker — unlike an id-keyed cache).
+_PARSE_CACHE: dict[str, dict[str, str]] = {}
 
-    Hot-path design (this is THE per-pair cost at 10^12 scale): a fully
-    VECTORIZED fast-reject computes, for every pair in the batch at once,
-    an upper bound on the field-similarity mean (per-field byte-histogram
-    intersection bounds ≥ SequenceMatcher ratio — difflib's quick_ratio
-    invariant), a conservative acronym-boost allowance, the pHash Hamming
-    image similarity, a caption-equality vector and a multiset NECESSARY
-    condition for substring containment. A pair is dropped only when every
-    escape hatch is provably closed, so the surviving ~few % go through the
-    exact shared kernel (``oracle.verify_pair``) and the decision set is
-    bit-identical to the oracle's.
+
+def _fields_cached(caption: str) -> dict[str, str]:
+    f = _PARSE_CACHE.get(caption)
+    if f is None:
+        if len(_PARSE_CACHE) > 1_000_000:  # bound worker memory
+            _PARSE_CACHE.clear()
+        f = _PARSE_CACHE[caption] = tx.parse_fields(caption)
+    return f
+
+
+def verify_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """map_batches task kernel: one shared-kernel verification per pair row.
+
+    ``oracle.verify_pair`` starts with its own decision-lossless
+    upper-bound prefilter (rejects ~87% of candidate pairs without running
+    SequenceMatcher), so no extra batch-level machinery is needed here.
     """
+    n_pairs = batch.num_rows
+    if n_pairs == 0:
+        return EDGE_SCHEMA.empty_table()
+    id_a = batch["id_a"].to_pylist()
+    id_b = batch["id_b"].to_pylist()
+    cap_a = batch["cap_a"].to_pylist()
+    cap_b = batch["cap_b"].to_pylist()
+    ph_a = batch["ph_a"].to_pylist()
+    ph_b = batch["ph_b"].to_pylist()
+    fl = cfg.filter_literals
 
-    def __init__(self, cfg: PipelineConfig | None = None):
-        self.cfg = cfg or PipelineConfig()
-        thr = self.cfg.adaptive_thresholds
-        self._thr_vec = np.array(
-            [thr.get(i, self.cfg.adaptive_default) for i in range(64)]
+    o_a, o_b, scores, avgs, tiers, passes = [], [], [], [], [], []
+    for i in range(n_pairs):
+        res = verify_pair(
+            cap_a[i], cap_b[i], ph_a[i], ph_b[i], cfg,
+            _fields_cached(cap_a[i]), _fields_cached(cap_b[i]),
         )
-        # cross-batch per-doc feature cache (actor-pool state): a doc appears
-        # in many pairs spread over many batches; its parse + histograms are
-        # computed once per actor lifetime
-        self._doc_cache: dict[str, tuple] = {}
+        if res is None:
+            continue
+        score, avg, nc, tier, passed = res
+        if not (passed or (fl and nc < 3)):
+            continue
+        o_a.append(id_a[i])
+        o_b.append(id_b[i])
+        scores.append(score)
+        avgs.append(avg)
+        tiers.append(tier)
+        passes.append(passed)
 
-    def _doc_features(self, iid: str, cap: str) -> tuple:
-        feat = self._doc_cache.get(iid)
-        if feat is not None:
-            return feat
-        fl = tx.parse_fields(cap)
-        raw = cap.encode("utf-8", "surrogatepass")
-        if len(raw) != len(cap):
-            feat = (fl, None)  # non-ascii → histogram bounds unsafe
-        else:
-            arr = np.frombuffer(raw, dtype=np.uint8)
-            caphist = np.bincount(arr & 0x7F, minlength=128).astype(np.int32)
-            # ONE fused bincount for every field histogram: bucket index =
-            # field_idx*128 + folded byte (per-field add.at loops measured
-            # ~6x slower at caption-field sizes)
-            keys = list(fl)
-            bvals = [fl[k].encode() for k in keys]
-            lens = np.fromiter((len(b) for b in bvals), dtype=np.int64,
-                               count=len(bvals))
-            allb = np.frombuffer(b"".join(bvals), dtype=np.uint8)
-            fidx = np.repeat(
-                np.arange(len(bvals), dtype=np.int64) * 128, lens
-            )
-            hists = np.bincount(
-                fidx + (allb & 0x7F), minlength=len(bvals) * 128
-            ).astype(np.uint16).reshape(len(bvals), 128)
-            per_field = {}
-            for j, k in enumerate(keys):
-                v = fl[k]
-                nsp = int(hists[j, 32])  # count of 0x20 space bytes
-                per_field[k] = (hists[j], len(v), len(v.split()), len(v) - nsp)
-            feat = (fl, (caphist, len(cap), per_field))
-        self._doc_cache[iid] = feat
-        if len(self._doc_cache) > 2_000_000:  # bound actor memory
-            self._doc_cache.clear()
-        return feat
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        n_pairs = batch.num_rows
-        if n_pairs == 0:
-            return EDGE_SCHEMA.empty_table()
-        id_a = batch["id_a"].to_pylist()
-        id_b = batch["id_b"].to_pylist()
-        cap_a = batch["cap_a"].to_pylist()
-        cap_b = batch["cap_b"].to_pylist()
-        ph_a = batch["ph_a"].to_numpy(zero_copy_only=False)
-        ph_b = batch["ph_b"].to_numpy(zero_copy_only=False)
-
-        # ---- per-unique-doc features (actor-cached across batches) --------
-        idx: dict[str, int] = {}
-        caps: list[str] = []
-        feats: list[tuple] = []
-        for iid, cap in zip(id_a + id_b, cap_a + cap_b):
-            if iid not in idx:
-                idx[iid] = len(caps)
-                caps.append(cap)
-                feats.append(self._doc_features(iid, cap))
-        n_docs = len(caps)
-        fields = [f[0] for f in feats]
-        labels: dict[str, int] = {}
-        for f in fields:
-            for k in f:
-                labels.setdefault(k, len(labels))
-        F = len(labels)
-        present = np.zeros((n_docs, F), dtype=bool)
-        flen = np.zeros((n_docs, F), dtype=np.int32)
-        wc = np.zeros((n_docs, F), dtype=np.int32)    # word count
-        dl = np.full((n_docs, F), -1, dtype=np.int32)  # despaced length
-        hist = np.zeros((n_docs, F, 128), dtype=np.uint16)
-        caplen = np.zeros(n_docs, dtype=np.int32)
-        caphist = np.zeros((n_docs, 128), dtype=np.int32)
-        unsafe = np.zeros(n_docs, dtype=bool)  # non-ascii → bound invalid
-        for d, (fl, packed) in enumerate(feats):
-            if packed is None:
-                unsafe[d] = True
-                continue
-            chist, clen, per_field = packed
-            caphist[d] = chist
-            caplen[d] = clen
-            for k, (h, ln, w, dsp) in per_field.items():
-                j = labels[k]
-                present[d, j] = True
-                flen[d, j] = ln
-                wc[d, j] = w
-                dl[d, j] = dsp
-                hist[d, j] = h
-
-        ia = np.fromiter((idx[i] for i in id_a), dtype=np.int64, count=n_pairs)
-        ib = np.fromiter((idx[i] for i in id_b), dtype=np.int64, count=n_pairs)
-
-        # ---- vectorized bounds over all pairs -----------------------------
-        common = present[ia] & present[ib]                       # (p, F)
-        n_common = common.sum(axis=1).astype(np.int64)
-        inter = np.minimum(hist[ia], hist[ib]).sum(
-            axis=2, dtype=np.int32
-        )                                                        # (p, F)
-        la, lb = flen[ia], flen[ib]
-        denom = la + lb
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ub = np.where(denom > 0, 2.0 * inter / denom, 1.0)
-        # acronym boost is only reachable when one side's word count equals
-        # the other side's despaced length (exact necessary condition of
-        # reference F2); grant the boost allowance exactly there
-        acro_possible = (wc[ia] == dl[ib]) | (wc[ib] == dl[ia])
-        ub = np.maximum(ub, np.where(acro_possible, cfg.acronym_boost, 0.0))
-        ub *= common
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mean_ub = np.where(n_common > 0, ub.sum(axis=1) / np.maximum(n_common, 1), 0.0)
-        thr = self._thr_vec[np.clip(n_common, 0, 63)]
-
-        ham = _popcount(np.bitwise_xor(ph_a.view(np.uint64), ph_b.view(np.uint64)))
-        img_ok = (1.0 - ham / 64.0) >= 0.875
-        cap_eq = np.fromiter(
-            (cap_a[i] == cap_b[i] for i in range(n_pairs)), dtype=bool,
-            count=n_pairs,
-        )
-        # substring NECESSARY condition: shorter multiset ⊆ longer multiset
-        sub_possible = (
-            np.minimum(caphist[ia], caphist[ib]).sum(axis=1)
-            >= np.minimum(caplen[ia], caplen[ib])
-        )
-
-        reject = (
-            (mean_ub < thr)
-            & ~(cfg.filter_literals & (n_common < 3))
-            & ~(img_ok & sub_possible)
-            & ~cap_eq
-            & ~unsafe[ia]
-            & ~unsafe[ib]
-        )
-        survivors = np.nonzero(~reject)[0]
-
-        # ---- exact kernel on survivors only -------------------------------
-        o_a, o_b, scores, avgs, tiers, passes = [], [], [], [], [], []
-        for i in survivors.tolist():
-            res = verify_pair(
-                cap_a[i], cap_b[i], int(ph_a[i]), int(ph_b[i]), cfg,
-                fields[ia[i]], fields[ib[i]],
-            )
-            if res is None:
-                continue
-            score, avg, nc, tier, passed = res
-            if not (passed or (cfg.filter_literals and nc < 3)):
-                continue
-            o_a.append(id_a[i])
-            o_b.append(id_b[i])
-            scores.append(score)
-            avgs.append(avg)
-            tiers.append(tier)
-            passes.append(passed)
-
-        return pa.table(
-            {
-                "id_a": pa.array(o_a, pa.string()),
-                "id_b": pa.array(o_b, pa.string()),
-                "score": pa.array(scores, pa.float32()),
-                "avg_field_sim": pa.array(avgs, pa.float32()),
-                "tier": pa.array(tiers, pa.string()),
-                "pass": pa.array(passes, pa.bool_()),
-            },
-            schema=EDGE_SCHEMA,
-        )
-
-
-def _popcount(v: np.ndarray) -> np.ndarray:
-    b = v.view(np.uint8).reshape(*v.shape, 8)
-    return np.unpackbits(b, axis=-1).sum(axis=-1).astype(np.int32)
+    return pa.table(
+        {
+            "id_a": pa.array(o_a, pa.string()),
+            "id_b": pa.array(o_b, pa.string()),
+            "score": pa.array(scores, pa.float32()),
+            "avg_field_sim": pa.array(avgs, pa.float32()),
+            "tier": pa.array(tiers, pa.string()),
+            "pass": pa.array(passes, pa.bool_()),
+        },
+        schema=EDGE_SCHEMA,
+    )
