@@ -107,7 +107,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
-            FROM orders ORDER BY o_totalprice DESC LIMIT 10
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
         """,
         "segment_revenue": """
             SELECT c_mktsegment,

@@ -83,13 +83,26 @@ def ratio_upper_bound(a: str, b: str) -> float:
 
 
 def acronym(s: str) -> str:
-    """Reference F2: first letter of each word, uppercased."""
+    """Reference F2 analog: first letter of each whitespace word, uppercased.
+
+    INTENTIONAL DEVIATION from the reference: ``get_acronym``
+    (``similarity_utils.py:42-47``) uses ``re.findall(r'\\b\\w', s)``, which
+    also captures word-starts after punctuation/digits (e.g. ``st. mary's``
+    → ``SMS``). This engine whitespace-splits, so punctuated values yield
+    shorter acronyms and some boost decisions differ on such values. The
+    oracle shares THIS function, so engine ≡ oracle regardless.
+    """
     return "".join(w[0] for w in s.split() if w).upper()
 
 
 def acronym_match(a: str, b: str) -> bool:
     """Reference F2 boost condition: one side's acronym equals the other side
-    de-spaced + uppercased (``similarity_utils.py:76-80``)."""
+    de-spaced + uppercased (``similarity_utils.py:76-80``).
+
+    INTENTIONAL DEVIATION: the reference has no length guard, so a
+    single-character value acronym-boosts against its own single letter;
+    the ``len > 1`` guard here suppresses that degenerate 0.95 boost
+    (shared by the oracle, so both sides agree)."""
     da, db = a.replace(" ", "").upper(), b.replace(" ", "").upper()
     return (acronym(a) == db and len(db) > 1) or (acronym(b) == da and len(da) > 1)
 

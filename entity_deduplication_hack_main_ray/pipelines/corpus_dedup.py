@@ -108,14 +108,25 @@ def eval_by_variation(sf_dir: str) -> pd.DataFrame:
 
 
 def golden_eval(sf_dir: str) -> pd.DataFrame:
-    """Reference-style evaluation (B4/A6: pair-set P/R vs golden): one row
-    of precision/recall/F1 percentages (basis points, exact ints)."""
+    """Reference-style evaluation (B4/A6: pair-set P/R/F1 vs golden), one
+    row, exact basis-point ints.
+
+    Reproduces the reference FP-EXCLUSION quirk
+    (``EvaluateVariations.ipynb cell 2`` lines :55-61): predicted pairs the
+    matcher classified ``true_duplicate`` (our ``exact`` tier — byte-equal
+    caption AND equal pHash) are EXCLUDED from the false-positive count
+    when absent from golden — the reference treats them as trivially
+    correct rather than penalizing precision. Precision/F1 are computed on
+    the direct matched-pair set (passing edges), mirroring the reference's
+    matched-set basis; ``recall_bp`` stays cluster-transitive (the engine's
+    acceptance metric).
+    """
     from ..oracle import dup_pairs_from_clusters
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     corpus_dir, golden_path = corpus_for_sf(sf_dir)
-    _, clusters = _run_cached(corpus_dir, PipelineConfig())
+    edges, clusters = _run_cached(corpus_dir, PipelineConfig())
     ctbl = pa.Table.from_pandas(
         clusters[["image_id", "cluster_id", "cluster_size"]]
     )
@@ -129,11 +140,37 @@ def golden_eval(sf_dir: str) -> pd.DataFrame:
     }
     tp = len(pred & gold)
     recall_bp = int(round(10000 * tp / max(1, len(gold))))
+
+    passing = edges[edges["pass"]]
+    pred_edges = {
+        (a, b) for a, b in zip(passing["id_a"], passing["id_b"])
+    }
+    exact_edges = {
+        (a, b)
+        for a, b, t in zip(passing["id_a"], passing["id_b"], passing["tier"])
+        if t == "exact"
+    }
+    tp_edges = len(pred_edges & gold)
+    fp_all = pred_edges - gold
+    fp_excluded = len(fp_all & exact_edges)  # the reference :55-61 rule
+    fp = len(fp_all) - fp_excluded
+    precision = tp_edges / max(1, tp_edges + fp)
+    recall_edges = tp_edges / max(1, len(gold))
+    f1 = (
+        2 * precision * recall_edges / (precision + recall_edges)
+        if precision + recall_edges
+        else 0.0
+    )
     return pd.DataFrame(
         {
             "n_golden": [len(gold)],
             "n_pred_pairs": [len(pred)],
             "true_positives": [tp],
             "recall_bp": [recall_bp],
+            "n_pred_edges": [len(pred_edges)],
+            "tp_edges": [tp_edges],
+            "fp_excluded": [fp_excluded],
+            "precision_bp": [int(round(10000 * precision))],
+            "f1_bp": [int(round(10000 * f1))],
         }
     )

@@ -137,14 +137,19 @@ def assignments_to_clusters(
     """corpus ids + component assignments → clusters table
     (image_id, cluster_id, cluster_size); singletons cluster with themselves.
 
-    The assignment map covers only nodes incident to a verified edge —
-    a small fraction of the corpus — so it is broadcast once via ``ray.put``
-    and looked up per batch (B5 broadcast pattern) with vectorized pandas
-    map (C-speed hash gather), not shuffled and not per-row Python.
+    dict assignment (driver union-find result): the map covers only nodes
+    incident to a verified edge — a small fraction of the corpus — so it is
+    broadcast once via ``ray.put`` and looked up per batch (B5 broadcast
+    pattern) with vectorized pandas map (C-speed hash gather), not shuffled.
+
+    Dataset assignment (distributed label propagation): the labels stay a
+    Dataset END-TO-END — applied via two coarse-partition exchanges
+    (co-group corpus ids with labels on id, then attach sizes by grouping
+    on cluster_id), never collected to the driver. This is the path that
+    exists precisely because the assignment may not fit driver memory.
     """
     if isinstance(assign, ray.data.Dataset):
-        rows = assign.take_all()  # distributed path result; see docstring
-        assign = {r["node"]: r["label"] for r in rows}
+        return _apply_assignments_distributed(corpus_ids, assign)
     sizes: dict[str, int] = {}
     for cid in assign.values():
         sizes[cid] = sizes.get(cid, 0) + 1
@@ -164,6 +169,71 @@ def assignments_to_clusters(
         )
 
     return corpus_ids.map_batches(apply, batch_format="pyarrow")
+
+
+def _apply_assignments_distributed(
+    corpus_ids: ray.data.Dataset, labels: ray.data.Dataset
+) -> ray.data.Dataset:
+    """corpus ⋈ labels without driver materialization: exchange 1 co-groups
+    corpus ids and label rows by hash(id) and resolves each id's cluster
+    (label if present, else itself); exchange 2 groups by hash(cluster_id),
+    where each partition holds every member of its clusters, so sizes attach
+    in the same kernel."""
+    from ..stages.cluster import _pkey
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pandas()
+        return pa.table(
+            {
+                "pkey": pa.array(_pkey(ids)),
+                "id": t["image_id"],
+                "label": pa.nulls(t.num_rows, pa.string()),
+            }
+        )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        ids = t["node"].to_pandas()
+        return pa.table(
+            {
+                "pkey": pa.array(_pkey(ids)),
+                "id": t["node"],
+                "label": t["label"],
+            }
+        )
+
+    merged = corpus_ids.map_batches(tag_corpus, batch_format="pyarrow").union(
+        labels.map_batches(tag_labels, batch_format="pyarrow")
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["label"].notna()].set_index("id")["label"]
+        ids = g[g["label"].isna()]["id"]
+        cid = ids.map(lab).fillna(ids)
+        from ..stages.cluster import _pkey as pk
+        return pd.DataFrame(
+            {
+                "pkey2": pk(cid),
+                "image_id": ids.reset_index(drop=True),
+                "cluster_id": cid.reset_index(drop=True),
+            }
+        )
+
+    def attach_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("cluster_id", sort=False)["image_id"].transform("size")
+        return pd.DataFrame(
+            {
+                "image_id": g["image_id"],
+                "cluster_id": g["cluster_id"],
+                "cluster_size": sizes.astype("int32"),
+            }
+        )
+
+    return (
+        merged.groupby("pkey")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby("pkey2")
+        .map_groups(attach_sizes, batch_format="pandas")
+    )
 
 
 def dedup_pipeline(
@@ -217,3 +287,46 @@ def dedup_pipeline(
         lambda: assignments_to_clusters(corpus_ids, assign),
     )
     return edges, clusters
+
+
+def psnr_spot_check(
+    corpus_path: str,
+    edges: ray.data.Dataset,
+    cfg: PipelineConfig | None = None,
+) -> ray.data.Dataset:
+    """Bytes-level fidelity spot check for verified edges (SURVEY.md §2.4
+    B3: the ``edges ⋈ corpus`` semi-join): decode ONLY the images that
+    appear in a verified pair and validate pHash + PSNR.
+
+    The edge-id set is the small side — broadcast once via ``ray.put`` and
+    probed per batch with the Arrow ``is_in`` kernel — so the corpus-side
+    ``bytes`` column is decoded for matched rows only (a spot check, not a
+    full-corpus validation pass). Returns
+    ``(image_id, phash_match:bool, psnr_db:float)``.
+    """
+    import pyarrow.compute as _pc
+
+    from ..stages.signer import MediaValidator
+
+    cfg = cfg or PipelineConfig()
+    ids: set[str] = set()
+    for b in edges.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        ids.update(b["id_a"].to_pylist())
+        ids.update(b["id_b"].to_pylist())
+    id_ref = ray.put(pa.array(sorted(ids), pa.string()))
+
+    def semi_join(t: pa.Table) -> pa.Table:
+        probe = ray.get(id_ref)
+        return t.filter(_pc.is_in(t["image_id"], value_set=probe))
+
+    corpus = read_corpus(corpus_path, ["image_id", "bytes", "fmt", "phash"])
+    matched = corpus.map_batches(semi_join, batch_format="pyarrow")
+    return matched.map_batches(
+        MediaValidator,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.image_batch_size,
+        concurrency=(1, 8),
+    )

@@ -73,9 +73,16 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Global top-k by value (A1's global cousin): sort + limit."""
+    """Global top-k by value (A1's global cousin): sort + limit.
+
+    ``o_orderkey`` tie-break (ascending) mirrors the oracle SQL exactly, so
+    ties straddling the k boundary select the same rows in both engines."""
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort("o_totalprice", descending=True).limit(k).to_pandas()
+    return (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
 
 
 def segment_revenue(sf_dir: str) -> pd.DataFrame:
@@ -90,11 +97,12 @@ def segment_revenue(sf_dir: str) -> pd.DataFrame:
 
     def join_batch(t: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
-        seg = [lookup.get(c) for c in t["o_custkey"].to_pylist()]
+        # vectorized gather: dict-backed pandas map is a C-speed hash probe
+        seg = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)).map(lookup)
         cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
         return pa.table(
             {
-                "c_mktsegment": pa.array(seg, pa.string()),
+                "c_mktsegment": pa.Array.from_pandas(seg, type=pa.string()),
                 "price_cents": pa.array(cents),
             }
         )
@@ -141,7 +149,10 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
     def anti(t: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
-        mask = pa.array([c not in ks for c in t["c_custkey"].to_pylist()])
+        # vectorized anti-join probe: Arrow is_in kernel, no Python per row
+        mask = pc.invert(
+            pc.is_in(t["c_custkey"], value_set=pa.array(list(ks)))
+        )
         return t.filter(mask)
 
     out = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
@@ -197,8 +208,12 @@ def nation_region_counts(sf_dir: str) -> pd.DataFrame:
 
     def tag(t: pa.Table) -> pa.Table:
         rmap = ray.get(rmap_ref)
-        names = [rmap.get(r) for r in t["n_regionkey"].to_pylist()]
-        return pa.table({"r_name": pa.array(names, pa.string())})
+        names = pd.Series(
+            t["n_regionkey"].to_numpy(zero_copy_only=False)
+        ).map(rmap)
+        return pa.table(
+            {"r_name": pa.Array.from_pandas(names, type=pa.string())}
+        )
 
     out = (
         nation.map_batches(tag, batch_format="pyarrow")

@@ -2,6 +2,13 @@
 members of the engine's dedup family (exact, MinHash+LSH, SimHash, n-gram
 Jaccard). The image+caption flagship lives in ``pipelines/dedup.py``; these
 reuse the same hashing kernels over plain text.
+
+All near-dup members share the flagship's scale shape: signature task-pool
+map_batches → band explode (each row carrying its doc's FULL key list) →
+ONE ``groupby(pkey)`` shuffle whose kernel applies min-shared-key pair
+OWNERSHIP (``oracle.owned_pair_mask``) — every candidate pair is generated
+exactly once across all partitions, so no pair-dedup exchange and no
+driver-side materialization of any input table.
 """
 
 from __future__ import annotations
@@ -9,12 +16,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..config import PipelineConfig
 from ..functions.hashing import (
     band_keys,
-    hamming64,
+    chunk16_bands,
     minhash_from_stream,
     minhash_params,
     shingle_hash_stream,
@@ -22,6 +30,7 @@ from ..functions.hashing import (
     signature_digest,
     simhash_from_stream,
 )
+from ..oracle import _KEY_PAD, owned_pair_mask
 from ..state.unionfind import UnionFind
 
 
@@ -33,17 +42,31 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup (hash-partition + per-group first, A5): one row per
     distinct text with the minimum doc_id as representative.
 
-    The groupby key is the text itself (Ray hash-partitions it); at 100TB a
-    64-bit content hash column would be grouped instead with a tiny
-    collision-check — semantics identical for the test corpus.
+    The shuffle key is a 64-bit CONTENT HASH of the text (the 100 TB path —
+    a groupby on the raw text column would sort multi-KB strings through
+    the exchange); hash collisions are handled inside the group kernel by
+    deduplicating per distinct text, so the result is byte-identical to
+    grouping by the text itself (the SQL oracle stays green).
     """
+    from ..functions import text as tx
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        fp = [tx.fingerprint64(s) for s in t["text"].to_pylist()]
+        return t.append_column("fp", pa.array(fp, pa.int64()))
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id").head(1)
+        # one fp group may hold several distinct texts (collisions): keep
+        # the min doc_id per TEXT, not per hash
+        return (
+            g.sort_values("doc_id")
+            .drop_duplicates("text")
+            .drop(columns=["fp"])
+        )
 
     out = (
         _docs(sf_dir, ["doc_id", "text"])
-        .groupby("text")
+        .map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp")
         .map_groups(keep_min, batch_format="pandas")
         .to_pandas()
     )
@@ -51,8 +74,10 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 class DocSigner:
-    """Actor-pool signature stage for plain documents (MinHash + SimHash +
-    band keys), sharing the corpus Signer's kernels and seeding."""
+    """Signature stage for plain documents (MinHash + SimHash + band keys),
+    sharing the corpus Signer's kernels and seeding. Used as a TASK-pool
+    map_batches callable via ``_doc_signer_for`` (state builds in
+    microseconds — same rationale as the flagship's signer)."""
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
@@ -84,6 +109,32 @@ class DocSigner:
         )
 
 
+_DOC_SIGNERS: dict[str, DocSigner] = {}
+
+
+def _doc_signer_for(cfg: PipelineConfig, chash: str) -> DocSigner:
+    s = _DOC_SIGNERS.get(chash)
+    if s is None:
+        s = _DOC_SIGNERS[chash] = DocSigner(cfg)
+    return s
+
+
+def _signed(
+    sf_dir: str, cfg: PipelineConfig, carry_text: bool = False
+) -> ray.data.Dataset:
+    chash = cfg.config_hash()
+
+    def sign(t: pa.Table) -> pa.Table:
+        out = _doc_signer_for(cfg, chash)(t)
+        if carry_text:  # payload carried through the shuffle (B3 pattern)
+            out = out.append_column("text", t["text"])
+        return out
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sign, batch_format="pyarrow", batch_size=None
+    )
+
+
 def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.DataFrame:
     """MinHash+LSH near-dedup (shingle→minhash→band→bucket-groupby):
     returns (doc_id, cluster_id) with cluster_id = min doc_id of the
@@ -94,18 +145,11 @@ def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.Data
     full verified pipeline is the corpus flagship.
     """
     cfg = cfg or PipelineConfig()
-    signed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        DocSigner,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    signed = _signed(sf_dir, cfg)
 
     P = 64  # coarse shuffle partitions (see stages/candidates.py rationale)
 
     def explode(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         keys = t["keys"]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -170,17 +214,86 @@ def simhash_signatures_table(sf_dir: str, cfg: PipelineConfig | None = None) -> 
     """Per-doc 64-bit SimHash (near-dup signature family #2)."""
     cfg = cfg or PipelineConfig()
     out = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(
-            DocSigner,
-            fn_constructor_kwargs={"cfg": cfg},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+        _signed(sf_dir, cfg)
         .select_columns(["doc_id", "simhash"])
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _explode_with_keys(
+    signed: ray.data.Dataset, P: int, carry: list[str]
+) -> ray.data.Dataset:
+    """Explode each doc's key list into candidate rows carrying the FULL
+    list (for ownership) plus ``carry`` payload columns."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        keys = t["keys"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        parent = pc.list_parent_indices(keys)
+        sel = t.select(carry + ["keys"]).take(parent)
+        flat = keys.flatten()
+        pkey = flat.to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(P)
+        cols = {
+            "pkey": pa.array(pkey.astype(np.int64)),
+            "band_key": flat,
+        }
+        for c in carry + ["keys"]:
+            cols[c] = sel[c]
+        return pa.table(cols)
+
+    return signed.map_batches(explode, batch_format="pyarrow")
+
+
+def _key_matrix_int64(g: pa.Table) -> np.ndarray:
+    kcol = g["keys"]
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    values = kcol.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    lens = np.asarray(pc.list_value_length(kcol), dtype=np.int64)
+    kmax = int(lens.max()) if len(lens) else 0
+    mat = np.full((len(lens), kmax), _KEY_PAD, dtype=np.uint64)
+    mat[np.arange(kmax)[None, :] < lens[:, None]] = values
+    return mat
+
+
+def _owned_bucket_pairs(
+    g: pa.Table, max_bucket: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared candidate kernel for the int-doc_id pipelines: re-group one
+    coarse partition by band_key, all-pairs within buckets (≤ max_bucket;
+    larger buckets counted + skipped — these document pipelines have no
+    digest-refinement payload), then min-shared-key ownership. Returns
+    (row_idx_a, row_idx_b) into ``g`` with id_a < id_b by doc_id."""
+    band = g["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, band))
+    b_s, i_s = band[order], ids[order]
+    bounds = np.nonzero(np.diff(b_s))[0] + 1
+    ai, aj, ak = [], [], []
+    for s, e in zip(
+        np.concatenate([[0], bounds]), np.concatenate([bounds, [len(b_s)]])
+    ):
+        rows = order[s:e]
+        # one representative row per doc (a doc can reach the same bucket
+        # via several of its keys only across partitions, but be safe)
+        uniq_ids, first = np.unique(i_s[s:e], return_index=True)
+        rows = rows[first]
+        m = len(rows)
+        if m < 2 or m > max_bucket:
+            continue
+        iu, ju = np.triu_indices(m, 1)
+        ai.append(rows[iu])
+        aj.append(rows[ju])
+        ak.append(np.full(len(iu), b_s[s], dtype=np.uint64))
+    if not ai:
+        return np.array([], np.int64), np.array([], np.int64)
+    ai = np.concatenate(ai)
+    aj = np.concatenate(aj)
+    ak = np.concatenate(ak)
+    own = owned_pair_mask(ai, aj, ak, _key_matrix_int64(g))
+    return ai[own], aj[own]
 
 
 def ngram_jaccard_pairs(
@@ -189,121 +302,178 @@ def ngram_jaccard_pairs(
     """n-gram Jaccard near-dup pairs: LSH candidates → exact shingle-set
     Jaccard verification ≥ threshold. Returns (id_a, id_b, jaccard).
 
-    The exact Jaccard is computed only for LSH candidates (never all pairs);
-    shingle sets for the candidate docs are recomputed per partition — at
-    100TB they would be carried through the shuffle like the corpus captions.
+    Fully distributed: the document TEXT is carried through the one shuffle
+    as pair payload (exactly like the flagship carries captions) and the
+    exact Jaccard runs in a downstream task-pool map_batches with a
+    per-worker shingle-set cache — no driver-side table materialization,
+    and ownership makes every pair unique without a dedup exchange.
     """
     cfg = cfg or PipelineConfig()
-    docs = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    texts = dict(zip(docs["doc_id"], docs["text"]))
-
-    signed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        DocSigner,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-
+    signed = _signed(sf_dir, cfg, carry_text=True)
     P = 64
+    cands = _explode_with_keys(signed, P, ["doc_id", "text"])
 
-    def explode(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    max_bucket = cfg.max_bucket
 
-        keys = t["keys"]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        parent = pc.list_parent_indices(keys)
-        sel = t.select(["doc_id"]).take(parent)
-        flat = keys.flatten()
-        pkey = flat.to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(P)
-        return pa.table(
-            {
-                "pkey": pa.array(pkey.astype(np.int64)),
-                "band_key": flat,
-                "doc_id": sel["doc_id"],
-            }
-        )
-
-    def partition_pairs(g: pa.Table) -> pa.Table:
-        band = g["band_key"].to_numpy(zero_copy_only=False)
+    def emit(g: pa.Table) -> pa.Table:
+        ia, ib = _owned_bucket_pairs(g, max_bucket)
+        if not len(ia):
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "text_a": pa.array([], pa.string()),
+                    "text_b": pa.array([], pa.string()),
+                }
+            )
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, band))
-        b_s, i_s = band[order], ids[order]
-        bounds = np.nonzero(np.diff(b_s))[0] + 1
-        a_out, b_out = [], []
-        for s, e in zip(
-            np.concatenate([[0], bounds]), np.concatenate([bounds, [len(b_s)]])
-        ):
-            mem = np.unique(i_s[s:e])
-            if len(mem) < 2 or len(mem) > 256:
-                continue
-            for i in range(len(mem)):
-                for j in range(i + 1, len(mem)):
-                    a_out.append(int(mem[i]))
-                    b_out.append(int(mem[j]))
+        texts = g["text"].to_pylist()
+        swap = ids[ia] > ids[ib]
+        ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
         return pa.table(
             {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
+                "id_a": pa.array(ids[ia], pa.int64()),
+                "id_b": pa.array(ids[ib], pa.int64()),
+                "text_a": pa.array([texts[i] for i in ia], pa.string()),
+                "text_b": pa.array([texts[i] for i in ib], pa.string()),
             }
         )
 
-    cand = (
-        signed.map_batches(explode, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(partition_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    rows = []
-    shingle_cache: dict[int, set] = {}
+    shingle_k, seed = cfg.shingle_k, cfg.seed
+    _cache: dict[str, frozenset] = {}
 
-    def sh(doc_id: int) -> set:
-        s = shingle_cache.get(doc_id)
+    def shingles(text: str) -> frozenset:
+        s = _cache.get(text)
         if s is None:
-            s = shingle_cache[doc_id] = set(
-                shingle_hashes(texts[doc_id].lower(), cfg.shingle_k, cfg.seed)
-                .tolist()
+            if len(_cache) > 500_000:
+                _cache.clear()
+            s = _cache[text] = frozenset(
+                shingle_hashes(text.lower(), shingle_k, seed).tolist()
             )
         return s
 
-    for a, b in zip(cand["id_a"], cand["id_b"]):
-        sa, sb = sh(int(a)), sh(int(b))
-        inter = len(sa & sb)
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= threshold:
-            rows.append((int(a), int(b), j))
-    out = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+    def verify(t: pa.Table) -> pa.Table:
+        id_a = t["id_a"].to_pylist()
+        id_b = t["id_b"].to_pylist()
+        ta = t["text_a"].to_pylist()
+        tb = t["text_b"].to_pylist()
+        o_a, o_b, o_j = [], [], []
+        for i in range(len(id_a)):
+            sa, sb = shingles(ta[i]), shingles(tb[i])
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                o_a.append(id_a[i])
+                o_b.append(id_b[i])
+                o_j.append(j)
+        return pa.table(
+            {
+                "id_a": pa.array(o_a, pa.int64()),
+                "id_b": pa.array(o_b, pa.int64()),
+                "jaccard": pa.array(o_j, pa.float64()),
+            }
+        )
+
+    out = (
+        cands.groupby("pkey")
+        .map_groups(emit, batch_format="pyarrow")
+        .map_batches(verify, batch_format="pyarrow", batch_size=4096)
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def simhash_near_pairs(
     sf_dir: str, max_hamming: int = 3, cfg: PipelineConfig | None = None
 ) -> pd.DataFrame:
-    """SimHash near-dup pairs: bucket by 16-bit SimHash chunks, verify by
-    full Hamming distance ≤ max_hamming."""
+    """SimHash near-dup pairs: bucket by 16-bit SimHash chunks (4 bands —
+    pairs at hamming ≤ 3 share ≥ 1 chunk by pigeonhole), verify by full
+    Hamming distance ≤ max_hamming.
+
+    Fully distributed: chunk keys explode per doc (each row carrying all 4
+    keys for ownership), ONE groupby(pkey) shuffle, vectorized Hamming
+    verification inside the group kernel — no driver-side signature pull.
+    """
     cfg = cfg or PipelineConfig()
-    sims = simhash_signatures_table(sf_dir, cfg)
-    ids = sims["doc_id"].to_numpy()
-    sh = sims["simhash"].to_numpy().view(np.uint64)
-    # 4 chunk bands — pairs at hamming ≤ 3 share ≥ 1 chunk (pigeonhole)
-    rows = set()
-    for band in range(4):
-        chunk = (sh >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        order = np.argsort(chunk, kind="stable")
-        sc = chunk[order]
-        bounds = np.nonzero(np.diff(sc))[0] + 1
-        for s, e in zip(
-            np.concatenate([[0], bounds]), np.concatenate([bounds, [len(sc)]])
-        ):
-            if e - s < 2 or e - s > 512:
-                continue
-            members = order[s:e]
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    mi, mj = members[i], members[j]
-                    if int(hamming64(sh[mi : mi + 1], sh[mj : mj + 1])[0]) <= max_hamming:
-                        a, b = sorted((int(ids[mi]), int(ids[mj])))
-                        rows.add((a, b))
-    out = pd.DataFrame(sorted(rows), columns=["id_a", "id_b"])
-    return out
+    signed = _signed(sf_dir, cfg)
+    seed = cfg.seed
+    P = 64
+
+    def chunk_explode(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ck = chunk16_bands(sh, 4, tag=7, seed=seed)  # (n, 4) uint64
+        n = len(sh)
+        flat = ck.ravel()
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), 4)
+        shr = np.repeat(sh, 4)
+        offs = pa.array(np.arange(0, (n + 1) * 4, 4, dtype=np.int32))
+        keys_list = pa.ListArray.from_arrays(
+            offs, pa.array(ck.ravel().view(np.int64), pa.int64())
+        )
+        keys_rep = keys_list.take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
+        )
+        return pa.table(
+            {
+                "pkey": pa.array(
+                    (flat % np.uint64(P)).astype(np.int64), pa.int64()
+                ),
+                "band_key": pa.array(flat.view(np.int64), pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "simhash": pa.array(shr.view(np.int64), pa.int64()),
+                "keys": keys_rep,
+            }
+        )
+
+    max_bucket = 512
+
+    def emit(g: pa.Table) -> pa.Table:
+        ia, ib = _owned_bucket_pairs(g, max_bucket)
+        if not len(ia):
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sh = g["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        x = sh[ia] ^ sh[ib]
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        keep = ham <= max_hamming
+        ia, ib = ia[keep], ib[keep]
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+            }
+        )
+
+    out = (
+        signed.map_batches(chunk_explode, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(emit, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+            }
+        )
+    return (
+        out.drop_duplicates()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )

@@ -8,14 +8,27 @@ connected component — deterministic):
   ``cfg.driver_uf_max_edges``: stream edge batches to the driver and run
   C-speed union-find with path compression. Edges are the *verified
   duplicates*, orders of magnitude smaller than the corpus, so this bound is
-  generous in practice (2M edges ≈ 100 MB driver RAM).
+  generous in practice (2M edges ≈ 100 MB driver RAM). The decision is made
+  MID-STREAM (one pass, no separate count execution).
 * **distributed path** — iterative min-label propagation over Ray Datasets
   (the Hash-Min variant of the MapReduce connected-components family,
-  Rastogi et al. 2013): each round ships every node's current label to its
-  neighbors via one ``groupby(node)`` shuffle and takes the elementwise
-  min. Converges in O(component diameter) rounds; near-dup components have
-  tiny diameter because hot buckets emit star edges. Rounds stop at a
-  fixpoint detected by comparing label-multiset signatures.
+  Rastogi et al. 2013). Each round is two coarse-partition exchanges with
+  VECTORIZED pandas kernels (no per-node Python):
+
+    phase A  (labels ∪ edges) groupby(pkey(node))  → messages (dst, lbl)
+             via one C-speed merge per partition (label lookup over the
+             partition's co-keyed label rows);
+    phase B  messages groupby(pkey(dst))           → min label per dst +
+             an EXACT per-node changed flag (old label rows are tagged and
+             travel with the messages).
+
+  Convergence is detected exactly — sum of changed flags == 0 — and hitting
+  ``max_rounds`` without converging RAISES (wrong silent output is worse
+  than a loud failure). Converges in O(component diameter) rounds; near-dup
+  components have tiny diameter because hot buckets emit star edges.
+
+Coarse partition keys use ``pandas.util.hash_array`` (deterministic
+SipHash, C-speed) so label rows and edge rows co-locate across workers.
 
 The assignment covers only nodes that appear in edges; singleton rows get
 ``cluster_id = image_id`` when the assignment is applied to the corpus
@@ -24,6 +37,7 @@ The assignment covers only nodes that appear in edges; singleton rows get
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -31,6 +45,18 @@ from ray.data.aggregate import Min
 
 from ..config import PipelineConfig
 from ..state.unionfind import UnionFind
+
+_P = 64  # coarse partitions per exchange (cluster-size independent)
+
+
+def _pkey(values: pd.Series) -> np.ndarray:
+    """Deterministic C-speed string→partition hash (same result in every
+    worker process — unlike builtin ``hash``, which is PYTHONHASHSEED-
+    randomized per process)."""
+    return (
+        pd.util.hash_array(values.to_numpy(dtype=object), categorize=False)
+        % _P
+    ).astype(np.int64)
 
 
 def cluster_edges_driver(edges: ray.data.Dataset) -> dict[str, str]:
@@ -68,63 +94,46 @@ def cluster_edges_adaptive(
 def cluster_edges_distributed(
     edges: ray.data.Dataset, max_rounds: int = 50
 ) -> ray.data.Dataset:
-    """Hash-to-min label propagation. Returns Dataset(node, label).
+    """Hash-to-min label propagation. Returns Dataset(node, label)."""
 
-    Each round: labels ∪ bidirectional edges → groupby(node) → per node the
-    min incident label; then one more groupby round propagates the new min
-    back across edges. Terminates when no label changes.
-    """
-    # seed labels: every node labels itself; bidirectional edge list reused
-    # across rounds (it is the static topology)
     def to_bidir(batch: pa.Table) -> pa.Table:
         a, b = batch["id_a"], batch["id_b"]
+        node = pa.concat_arrays([c.combine_chunks() for c in (a, b)])
+        nbr = pa.concat_arrays([c.combine_chunks() for c in (b, a)])
+        pk = _pkey(pd.Series(node.to_pylist()))
         return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [c.combine_chunks() for c in (a, b)]
-                ),
-                "nbr": pa.concat_arrays(
-                    [c.combine_chunks() for c in (b, a)]
-                ),
-            }
+            {"pkey": pa.array(pk), "node": node, "nbr": nbr}
         )
 
     bidir = edges.map_batches(to_bidir, batch_format="pyarrow").materialize()
+
+    # seed labels: min(node, min incident nbr)
     labels = (
         bidir.groupby("node")
         .aggregate(Min("nbr", alias_name="label"))
         .map_batches(
-            lambda t: t.set_column(
-                1,
-                "label",
-                pa.chunked_array(
-                    [
-                        pa.compute.min_element_wise(t["label"], t["node"])
-                    ]
-                ),
+            lambda t: pa.table(
+                {
+                    "pkey": pa.array(_pkey(pd.Series(t["node"].to_pylist()))),
+                    "node": t["node"],
+                    "label": pa.chunked_array(
+                        [pa.compute.min_element_wise(t["label"], t["node"])]
+                    ),
+                }
             ),
             batch_format="pyarrow",
         )
         .materialize()
     )
 
-    for _ in range(max_rounds):
-        # join labels onto edges by node → messages (nbr, label)
-        def join_and_emit(group: pd.DataFrame) -> pd.DataFrame:
-            lab = group["label"].dropna()
-            if lab.empty:
-                return pd.DataFrame({"node": [], "label": []})
-            lbl = lab.min()
-            nbrs = group["nbr"].dropna()
-            node = group["node"].iloc[0]
-            out_nodes = list(nbrs) + [node]
-            return pd.DataFrame(
-                {"node": out_nodes, "label": [lbl] * len(out_nodes)}
-            )
-
+    for rnd in range(max_rounds):
+        # phase A: one merge per coarse partition → messages (dst, lbl);
+        # old-label rows tagged is_old=1 travel along for the exact
+        # convergence check in phase B
         lab_rows = labels.map_batches(
             lambda t: pa.table(
                 {
+                    "pkey": t["pkey"],
                     "node": t["node"],
                     "nbr": pa.nulls(t.num_rows, pa.string()),
                     "label": t["label"],
@@ -132,50 +141,75 @@ def cluster_edges_distributed(
             ),
             batch_format="pyarrow",
         )
-        edge_rows = bidir.map_batches(
+        merged = lab_rows.union(bidir.map_batches(
             lambda t: pa.table(
                 {
+                    "pkey": t["pkey"],
                     "node": t["node"],
                     "nbr": t["nbr"],
                     "label": pa.nulls(t.num_rows, pa.string()),
                 }
             ),
             batch_format="pyarrow",
-        )
-        merged = lab_rows.union(edge_rows)
+        ))
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            lab = g[g["label"].notna()][["node", "label"]]
+            edg = g[g["nbr"].notna()][["node", "nbr"]]
+            msgs = edg.merge(lab, on="node", how="inner")
+            out = pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "dst": msgs["nbr"],
+                            "lbl": msgs["label"],
+                            "is_old": np.zeros(len(msgs), dtype=np.int8),
+                        }
+                    ),
+                    pd.DataFrame(
+                        {
+                            "dst": lab["node"],
+                            "lbl": lab["label"],
+                            "is_old": np.ones(len(lab), dtype=np.int8),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+            out["pkey2"] = _pkey(out["dst"])
+            return out
+
+        def aggregate(g: pd.DataFrame) -> pd.DataFrame:
+            grp = g.groupby("dst", sort=False)
+            new = grp["lbl"].min()
+            old = g[g["is_old"] == 1].set_index("dst")["lbl"]
+            old = old.reindex(new.index)
+            changed = (old.isna() | (new < old)).astype(np.int8)
+            nodes = new.index.to_series(name="node").reset_index(drop=True)
+            return pd.DataFrame(
+                {
+                    "pkey": _pkey(nodes),
+                    "node": nodes,
+                    "label": new.reset_index(drop=True),
+                    "changed": changed.reset_index(drop=True),
+                }
+            )
+
         new_labels = (
-            merged.groupby("node")
-            .map_groups(join_and_emit, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            merged.groupby("pkey")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("pkey2")
+            .map_groups(aggregate, batch_format="pandas")
             .materialize()
         )
-        # fixpoint check: compare label multisets cheaply via sum of hashes
-        old_sig = _label_signature(labels)
-        new_sig = _label_signature(new_labels)
-        labels = new_labels
-        if old_sig == new_sig:
-            break
-    return labels
-
-
-def _label_signature(labels: ray.data.Dataset) -> int:
-    import zlib
-
-    def h(batch: pa.Table) -> pa.Table:
-        vals = [
-            zlib.crc32(f"{n}\0{l}".encode())
-            for n, l in zip(
-                batch["node"].to_pylist(), batch["label"].to_pylist()
-            )
-        ]
-        return pa.table({"h": pa.array([sum(vals) & 0xFFFFFFFFFFFF], pa.int64())})
-
-    return sum(
-        b["h"][0].as_py()
-        for b in labels.map_batches(h, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
+        n_changed = int(new_labels.sum("changed") or 0)
+        labels = new_labels.select_columns(["pkey", "node", "label"]).materialize()
+        if n_changed == 0:
+            return labels.select_columns(["node", "label"])
+    raise RuntimeError(
+        f"cluster_edges_distributed: no fixpoint after {max_rounds} rounds "
+        f"({n_changed} labels still changing) — refusing to return "
+        f"possibly-wrong assignments"
     )
 
 

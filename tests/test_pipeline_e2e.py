@@ -114,3 +114,69 @@ def test_distributed_clustering_path(ray_session, tiny_corpus):
     td = _clusters_table(cd).sort_by("image_id")
     tx_ = _clusters_table(cx).sort_by("image_id")
     assert td.equals(tx_)
+
+
+def test_non_numeric_ids_deterministic(ray_session, tiny_corpus_table, cfg, tmp_path):
+    """Ids without numeric prefixes must flow through candidate emission and
+    verification deterministically (round-1 used a PYTHONHASHSEED-randomized
+    hash((a,b)) fallback for such ids; the ownership design has no id-format
+    dependence — this test pins that)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.dedup import dedup_pipeline
+
+    t = tiny_corpus_table
+    weird = pa.array(
+        [f"img-{s[::-1]}" for s in t["image_id"].to_pylist()], pa.string()
+    )
+    t2 = t.set_column(t.schema.get_field_index("image_id"), "image_id", weird)
+    out = tmp_path / "weird_corpus"
+    out.mkdir()
+    pq.write_table(t2, str(out / "part-0.parquet"))
+    e1, c1 = dedup_pipeline(str(out), cfg)
+    e2, c2 = dedup_pipeline(str(out), cfg)
+    df1 = e1.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df2 = e2.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(df1) > 0
+    assert df1.equals(df2)
+    assert df1["id_a"].str.startswith("img-").all()
+
+
+def test_golden_eval_precision_columns(ray_session):
+    """golden_eval must report the reference FP-exclusion precision rule
+    (EvaluateVariations.ipynb cell 2: predicted true_duplicate pairs are
+    excluded from FP) with exact basis-point values on the tiny corpus."""
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import golden_eval
+
+    row = golden_eval("/root/testdata/sf0.001").iloc[0]
+    for col in ("precision_bp", "f1_bp", "fp_excluded", "tp_edges", "n_pred_edges"):
+        assert col in row.index
+    # exact deterministic values on the sf0.001 corpus (regression pins).
+    # precision < 100% is INHERENT to the golden's shape: it lists only
+    # (original → duplicate) pairs, so correct dup↔dup edges inside a
+    # 3+-member cluster count as FP — the same characteristic the reference
+    # eval has, which is why it carries the FP-exclusion quirk at all.
+    assert row["recall_bp"] == 10000
+    assert row["tp_edges"] == 189
+    assert row["fp_excluded"] == 8
+    assert row["precision_bp"] == 6097
+    assert row["f1_bp"] == 7575
+
+
+def test_psnr_spot_check_edges_join(ray_session, tiny_corpus, cfg):
+    """B3 semi-join: only images on verified edges are decoded; all must
+    pass the pHash + PSNR >= 40 dB fidelity bar (fixture invariant)."""
+    from entity_deduplication_hack_main_ray.pipelines.dedup import (
+        dedup_pipeline,
+        psnr_spot_check,
+    )
+
+    corpus_dir, _ = tiny_corpus
+    edges, _ = dedup_pipeline(corpus_dir, cfg)
+    out = psnr_spot_check(corpus_dir, edges, cfg).to_pandas()
+    edge_df = edges.to_pandas()
+    n_edge_ids = len(set(edge_df["id_a"]) | set(edge_df["id_b"]))
+    assert len(out) == n_edge_ids  # decoded exactly the matched rows
+    assert out["phash_match"].all()
+    assert (out["psnr_db"] >= 40.0).all()

