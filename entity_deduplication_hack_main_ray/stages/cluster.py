@@ -203,7 +203,9 @@ def cluster_edges_distributed(
             .materialize()
         )
         n_changed = int(new_labels.sum("changed") or 0)
-        labels = new_labels.select_columns(["pkey", "node", "label"]).materialize()
+        # keep the changed column — phase A projects explicitly, so it rides
+        # along for free (no extra select+materialize pass per round)
+        labels = new_labels
         if n_changed == 0:
             return labels.select_columns(["node", "label"])
     raise RuntimeError(
