@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- similarity search over embeddings ----------------------------
         "ann_cosine_topk": ann.brute_force_cosine_topk,
         "ann_lsh_topk": ann.lsh_bucketed_topk,
+        "ann_ivf_topk": ann.ivf_topk,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         # ---- the image+caption flagship (input_hint corpus) ---------------
         "image_dedup_clusters": corpus_dedup.image_dedup_clusters,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_topk": corpus_dedup.match_topk,
         "eval_by_variation": corpus_dedup.eval_by_variation,
         "golden_eval": corpus_dedup.golden_eval,
+        "psnr_spot_check": corpus_dedup.psnr_spot_check_edges,
     }
 
 

@@ -280,3 +280,106 @@ def embedding_near_dup_pairs(
         out.sort_values(["id_a", "id_b"])
         .reset_index(drop=True)[["id_a", "id_b", "cos_sim_e6"]]
     )
+
+
+def _kmeans_lite(
+    X: np.ndarray, k: int, seed: int, iters: int = 8
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample: seeds from a
+    seeded RNG choice, Lloyd iterations on cosine (normalized dot), empty
+    clusters re-seeded deterministically. Returns (k, dim) L2-normalized
+    centroids. The sample is small (driver-scale); the full corpus never
+    leaves the cluster."""
+    rng = np.random.default_rng(seed)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    idx = rng.choice(len(Xn), size=min(k, len(Xn)), replace=False)
+    C = Xn[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(len(C)):
+            members = Xn[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+            else:  # re-seed empty centroid deterministically
+                C[j] = Xn[int(rng.integers(0, len(Xn)))]
+    return C
+
+
+def ivf_topk(
+    sf_dir: str,
+    n_queries: int = 3,
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic scale path for
+    10^9+ vectors: a small driver-side sample trains spherical k-means
+    centroids (broadcast once), every batch assigns its vectors to their
+    nearest centroid, and each query scans only vectors whose centroid is
+    among its ``n_probe`` closest centroids (multiprobe). Same per-batch
+    partial top-k + (query_id, vec_id, cos_sim_e6) contract as the other
+    variants; ``n_probe == n_centroids`` degenerates to exact brute force
+    (the property the semantic test pins).
+    """
+    ds = _emb(sf_dir)
+    sample = ds.limit(sample_size).to_pandas()
+    X = _stack(sample["embedding"])
+    C = _kmeans_lite(X, n_centroids, seed)
+
+    qrows = _lowest_vec_rows(ds, n_queries)
+    Q = _stack(qrows["embedding"])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qrows["vec_id"].to_numpy()
+    n_probe = min(n_probe, len(C))
+    # per query: the n_probe nearest centroids
+    qprobe = np.argsort(-(Qn @ C.T), axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((qids, Qn, C, qprobe))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        qids_, Qn_, C_, qprobe_ = ray.get(ref)
+        V = _stack(t["embedding"])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cent = np.argmax(Vn @ C_.T, axis=1)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        q_out, v_out, s_out = [], [], []
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(cent, qprobe_[qi]) & (vid != qid)
+            if not mask.any():
+                continue
+            sims_e6 = _e6(Vn[mask] @ Qn_[qi])
+            v_m = vid[mask]
+            order = np.lexsort((v_m, -sims_e6))[:k]
+            q_out.append(np.full(len(order), qid, dtype=np.int64))
+            v_out.append(v_m[order])
+            s_out.append(sims_e6[order])
+        if not q_out:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim_e6": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(q_out), pa.int64()),
+                "vec_id": pa.array(np.concatenate(v_out), pa.int64()),
+                "cos_sim_e6": pa.array(np.concatenate(s_out), pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    out = (
+        cand.sort_values(
+            ["query_id", "cos_sim_e6", "vec_id"],
+            ascending=[True, False, True],
+        )
+        .groupby("query_id", sort=True)
+        .head(k)
+    )
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)

@@ -174,3 +174,18 @@ def golden_eval(sf_dir: str) -> pd.DataFrame:
             "f1_bp": [int(round(10000 * f1))],
         }
     )
+
+
+def psnr_spot_check_edges(sf_dir: str) -> pd.DataFrame:
+    """B3 semi-join fidelity query: decode ONLY images on verified edges,
+    recompute pHash and PSNR (edges ⋈ corpus via broadcast is_in probe —
+    a spot check, not a full-corpus validation pass)."""
+    import ray.data
+
+    from .dedup import psnr_spot_check
+
+    corpus_dir, _ = corpus_for_sf(sf_dir)
+    edges_df, _ = _run_cached(corpus_dir, PipelineConfig())
+    edges = ray.data.from_pandas(edges_df[["id_a", "id_b"]])
+    out = psnr_spot_check(corpus_dir, edges).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)

@@ -122,3 +122,20 @@ def test_embedding_near_dup_pairs_threshold(ray_session):
             expected.add((a, c, int(e6[i, j])))
     got = set(zip(out["id_a"], out["id_b"], out["cos_sim_e6"]))
     assert got == expected
+
+
+def test_ivf_topk_degenerates_to_brute_force(ray_session):
+    """n_probe == n_centroids scans every cell → must equal exact brute
+    force row for row; a narrow probe must return a subset of true rows."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        brute_force_cosine_topk,
+        ivf_topk,
+    )
+
+    bf = brute_force_cosine_topk(SF, n_queries=2, k=5)
+    full = ivf_topk(SF, n_queries=2, k=5, n_centroids=8, n_probe=8)
+    assert full.reset_index(drop=True).equals(bf.reset_index(drop=True))
+    narrow = ivf_topk(SF, n_queries=2, k=5, n_centroids=8, n_probe=2)
+    merged = pd.merge(narrow, bf, on=["query_id", "vec_id"], suffixes=("_i", "_b"))
+    if len(merged):
+        assert (merged["cos_sim_e6_i"] == merged["cos_sim_e6_b"]).all()
