@@ -115,29 +115,30 @@ def emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     if not pairs:
         return PAIR_SCHEMA.empty_table()
 
-    captions = group["caption_norm"].to_pylist()
-    phashes = group["phash"].to_pylist()
-    id_a, id_b, cap_a, cap_b, ph_a, ph_b = [], [], [], [], [], []
-    for i, j in pairs:
-        if ids[i] > ids[j]:
-            i, j = j, i
-        id_a.append(ids[i])
-        id_b.append(ids[j])
-        cap_a.append(captions[i])
-        cap_b.append(captions[j])
-        ph_a.append(phashes[i])
-        ph_b.append(phashes[j])
-    return pa.table(
-        {
-            "id_a": pa.array(id_a, pa.string()),
-            "id_b": pa.array(id_b, pa.string()),
-            "cap_a": pa.array(cap_a, pa.string()),
-            "cap_b": pa.array(cap_b, pa.string()),
-            "ph_a": pa.array(ph_a, pa.int64()),
-            "ph_b": pa.array(ph_b, pa.int64()),
-        },
-        schema=PAIR_SCHEMA,
-    )
+    # vectorized payload gather: canonicalize pair order by id with Arrow
+    # string compare + if_else, then take() the payload columns — no
+    # Python-per-pair loop (SURVEY.md "stay vectorized")
+    parr = np.array(sorted(pairs), dtype=np.int64)
+    pi = pa.array(parr[:, 0])
+    pj = pa.array(parr[:, 1])
+    id_col = group["image_id"].combine_chunks() if isinstance(
+        group["image_id"], pa.ChunkedArray) else group["image_id"]
+    ida = id_col.take(pi)
+    idb = id_col.take(pj)
+    swap = pa.compute.greater(ida, idb)
+    first = pa.compute.if_else(swap, pj, pi)
+    second = pa.compute.if_else(swap, pi, pj)
+    cols = {}
+    for name, src in (
+        ("id_a", "image_id"), ("id_b", "image_id"),
+        ("cap_a", "caption_norm"), ("cap_b", "caption_norm"),
+        ("ph_a", "phash"), ("ph_b", "phash"),
+    ):
+        c = group[src]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols[name] = c.take(first if name.endswith("_a") else second)
+    return pa.table(cols, schema=PAIR_SCHEMA)
 
 
 # Per-worker-process parse cache, keyed by the caption TEXT (parse_fields is
