@@ -177,3 +177,46 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ---------------------------------------------------------------------------
+# FakeVideo (deterministic container stand-in for real video formats)
+# ---------------------------------------------------------------------------
+
+FVID_MAGIC = b"FVID"
+
+
+def encode_fake_video(
+    frames: np.ndarray, fps: int = 30
+) -> bytes:
+    """Encode (n, h, w) gray or (n, h, w, 3) RGB uint8 frames → a FakeVideo
+    container: magic + header + zlib-compressed raw frames. A deterministic
+    stand-in for mp4/webm (no ffmpeg in this container) with the same
+    pipeline-visible shape: one opaque binary blob per media row."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    if f.ndim == 3:
+        f = f[:, :, :, None]
+    n, h, w, c = f.shape
+    header = FVID_MAGIC + struct.pack(">HHHBB", n, w, h, c, fps)
+    return header + zlib.compress(f.tobytes(), 6)
+
+
+def decode_fake_video(data: bytes) -> tuple[np.ndarray, int]:
+    """FakeVideo bytes → ((n, h, w[, 3]) uint8 frames, fps)."""
+    if data[:4] != FVID_MAGIC:
+        raise ValueError("not a FakeVideo payload")
+    n, w, h, c, fps = struct.unpack_from(">HHHBB", data, 4)
+    raw = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8)
+    f = raw.reshape(n, h, w, c)
+    return (f.reshape(n, h, w) if c == 1 else f), fps
+
+
+def decode_video(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """Decode one video payload by declared format (magic-checked). Real
+    formats (mp4/webm/…) need ffmpeg — absent here → explicit stub gate."""
+    if fmt == "fvid":
+        return decode_fake_video(data)
+    raise UnsupportedFormatError(
+        f"no video decoder for fmt={fmt!r} in this environment (stub gate: "
+        f"swap in an ffmpeg-backed decoder on a production image)"
+    )

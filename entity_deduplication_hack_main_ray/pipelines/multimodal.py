@@ -19,6 +19,7 @@ from ..config import PipelineConfig
 from ..functions.codecs import (
     UnsupportedFormatError,
     decode_image,
+    decode_video,
     encode_png,
 )
 from ..functions.hashing import dct_matrix, resize_gray
@@ -137,20 +138,65 @@ class ImageEmbed:
 
 
 class VideoFrameSample:
-    """STUB actor stage for video frame sampling: the batch plumbing
-    (binary in, list-of-binary frames out, frame indices by fps) is real;
-    the codec call raises ``UnsupportedFormatError`` — no ffmpeg in this
-    container."""
+    """Actor-pool stage: video frame sampling. The batch plumbing — binary
+    container in, one row per sampled frame out (media_id, frame_idx,
+    frame_png), stride in frames — is REAL and tested against the
+    deterministic ``fvid`` FakeVideo container (see ``functions/codecs.py``);
+    real formats (mp4/webm) hit the ``UnsupportedFormatError`` stub gate
+    because this container has no ffmpeg — swap ``decode_video``'s registry
+    on a production image, the stage is unchanged.
+
+    Output frames are re-encoded PNG so downstream image stages (decode /
+    resize / embed / pHash) consume them exactly like source images.
+    """
 
     def __init__(self, every_n_frames: int = 30):
         self.every_n = every_n_frames
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        raise UnsupportedFormatError(
-            "video decoding requires ffmpeg, absent in this environment; "
-            "the stage contract is (media_id, bytes, fmt) -> "
-            "(media_id, frame_idx, frame_png)"
+        ids = t["media_id"].to_pylist()
+        blobs = t["bytes"].to_pylist()
+        fmts = t["fmt"].to_pylist()
+        o_id, o_idx, o_png, o_ok = [], [], [], []
+        for mid, blob, fmt in zip(ids, blobs, fmts):
+            try:
+                frames, _fps = decode_video(blob, fmt)
+            except (UnsupportedFormatError, ValueError):
+                o_id.append(mid)
+                o_idx.append(-1)
+                o_png.append(b"")
+                o_ok.append(False)  # null-tolerant: bad media flows, B5
+                continue
+            for idx in range(0, len(frames), self.every_n):
+                o_id.append(mid)
+                o_idx.append(idx)
+                o_png.append(encode_png(frames[idx]))
+                o_ok.append(True)
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.string()),
+                "frame_idx": pa.array(o_idx, pa.int32()),
+                "frame_png": pa.array(o_png, pa.binary()),
+                "ok": pa.array(o_ok, pa.bool_()),
+            }
         )
+
+
+def video_frame_pipeline(
+    videos: ray.data.Dataset,
+    every_n_frames: int = 30,
+    cfg: PipelineConfig | None = None,
+) -> ray.data.Dataset:
+    """(media_id, bytes, fmt) videos → one row per sampled frame. Small
+    batches (rows are wide) on an actor pool; frames re-encoded PNG."""
+    cfg = cfg or PipelineConfig()
+    return videos.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"every_n_frames": every_n_frames},
+        batch_format="pyarrow",
+        batch_size=max(8, cfg.image_batch_size // 8),
+        concurrency=(1, 4),
+    )
 
 
 def image_stats_pipeline(

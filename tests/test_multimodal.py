@@ -71,6 +71,54 @@ def test_undecodable_rows_flow_not_fail():
     assert out["ok"].to_pylist() == [False]
 
 
-def test_video_stage_is_stub_gated():
+def test_video_frame_sampling_fake_container(ray_session):
+    """Real plumbing test: a deterministic fvid container → one row per
+    sampled frame, PNG-re-encoded, losslessly matching the source frames."""
+    import numpy as np
+    import ray.data
+
+    from entity_deduplication_hack_main_ray.functions.codecs import (
+        decode_png,
+        encode_fake_video,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.multimodal import (
+        video_frame_pipeline,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(10, 12, 16, 3), dtype=np.uint8)
+    blob = encode_fake_video(frames, fps=5)
+    videos = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(["vid-1"], pa.string()),
+                "bytes": pa.array([blob], pa.binary()),
+                "fmt": pa.array(["fvid"], pa.string()),
+            }
+        )
+    )
+    out = video_frame_pipeline(videos, every_n_frames=4).to_pandas()
+    assert out["frame_idx"].tolist() == [0, 4, 8]
+    assert out["ok"].all()
+    for _, row in out.iterrows():
+        assert np.array_equal(decode_png(row["frame_png"]), frames[row["frame_idx"]])
+
+
+def test_video_real_formats_stub_gated():
+    """mp4/webm (no ffmpeg here) flow as ok=False rows — null-tolerant,
+    with the stub gate at the codec layer."""
+    out = VideoFrameSample()(
+        pa.table(
+            {
+                "media_id": pa.array(["x"], pa.string()),
+                "bytes": pa.array([b"\x00\x00\x00 ftypmp42"], pa.binary()),
+                "fmt": pa.array(["mp4"], pa.string()),
+            }
+        )
+    )
+    assert out["ok"].to_pylist() == [False]
+
+    from entity_deduplication_hack_main_ray.functions.codecs import decode_video
+
     with pytest.raises(UnsupportedFormatError):
-        VideoFrameSample()(pa.table({"media_id": pa.array(["x"])}))
+        decode_video(b"...", "mp4")
