@@ -126,6 +126,7 @@ def cluster_edges_distributed(
         .materialize()
     )
 
+    n_changed = -1  # "never ran a round" marker for the failure message
     for rnd in range(max_rounds):
         # phase A: one merge per coarse partition → messages (dst, lbl);
         # old-label rows tagged is_old=1 travel along for the exact

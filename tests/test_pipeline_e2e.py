@@ -180,3 +180,30 @@ def test_psnr_spot_check_edges_join(ray_session, tiny_corpus, cfg):
     assert len(out) == n_edge_ids  # decoded exactly the matched rows
     assert out["phash_match"].all()
     assert (out["psnr_db"] >= 40.0).all()
+
+
+def test_distributed_clustering_raises_on_nonconvergence(ray_session):
+    """Hitting max_rounds without a fixpoint must raise loudly — silently
+    returning possibly-wrong assignments is the failure mode this guards."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from entity_deduplication_hack_main_ray.stages.cluster import (
+        cluster_edges_distributed,
+    )
+
+    # a path graph a-b-c-d-e needs >1 round to converge to min-label
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(["a", "b", "c", "d"], pa.string()),
+                "id_b": pa.array(["b", "c", "d", "e"], pa.string()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        cluster_edges_distributed(edges, max_rounds=1)
+    # and with enough rounds the same graph converges to one component
+    labels = cluster_edges_distributed(edges, max_rounds=10).to_pandas()
+    assert set(labels["label"]) == {"a"}
