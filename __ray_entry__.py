@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_order_totals": relational.daily_order_totals,
         "hourly_user_windows": relational.hourly_user_windows,
         "user_sessions": relational.user_sessions,
+        "events_asof_join": relational.events_asof_join,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -157,6 +158,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli
             FROM events GROUP BY user_id, hour
+        """,
+        "events_asof_join": """
+            WITH r AS (
+              SELECT user_id, ts FROM events
+              WHERE event_type = (SELECT MIN(event_type) FROM events)
+            )
+            SELECT l.event_id,
+                   CAST(epoch_us(r.ts) AS BIGINT) AS asof_ts_us
+            FROM events l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_sessions FROM (

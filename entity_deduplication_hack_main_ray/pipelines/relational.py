@@ -296,3 +296,76 @@ def daily_order_totals(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("day").reset_index(drop=True)
+
+
+def events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN — a custom operator Ray Data lacks (SURVEY brief §custom):
+    for every event, the most recent event of the REFERENCE TYPE (the
+    lexicographically first event_type — deterministic) by the same user at
+    or before the event's timestamp.
+
+    Physical plan: both sides tagged and co-partitioned by ``hash(user_id)``
+    in ONE coarse exchange; each partition kernel runs a C-speed
+    ``pandas.merge_asof(by=user_id, direction=backward)`` — the partitioning
+    assumption is the standard one (all rows of a user co-located), and the
+    kernel is vectorized, no per-row Python. Emits the matched timestamp
+    (epoch micros, tie-invariant: equal-ts ties share the value) so the
+    DuckDB ``ASOF JOIN`` oracle hash-matches exactly.
+    """
+    P = 32
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ref_type = min(ds.unique("event_type"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        is_ref = pc.equal(t["event_type"], pa.scalar(ref_type))
+        return pa.table(
+            {
+                "pkey": pa.array((uid % P).astype(np.int64)),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(ts.astype(np.int64)),
+                "event_id": t["event_id"],
+                "is_ref": is_ref,
+            }
+        )
+
+    def asof_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        left = g.sort_values("ts_us", kind="stable")[
+            ["event_id", "user_id", "ts_us"]
+        ]
+        right = (
+            g[g["is_ref"]]
+            .sort_values("ts_us", kind="stable")[["user_id", "ts_us"]]
+            .rename(columns={"ts_us": "asof_ts_us"})
+        )
+        if right.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "asof_ts_us": pd.Series(dtype="int64"),
+                }
+            )
+        m = pd.merge_asof(
+            left,
+            right,
+            left_on="ts_us",
+            right_on="asof_ts_us",
+            by="user_id",
+            direction="backward",
+        )
+        m = m[m["asof_ts_us"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "asof_ts_us": m["asof_ts_us"].astype("int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(asof_kernel, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
