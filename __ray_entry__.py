@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_user_windows": relational.hourly_user_windows,
         "user_sessions": relational.user_sessions,
         "events_asof_join": relational.events_asof_join,
+        "events_value_range_join": relational.events_value_range_join,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -168,6 +169,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(r.ts) AS BIGINT) AS asof_ts_us
             FROM events l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_value_range_join": """
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   ABS(CAST(ROUND(a.value*100) AS BIGINT)
+                       - CAST(ROUND(b.value*100) AS BIGINT)) AS value_diff_cents
+            FROM events a JOIN events b
+              ON a.event_id < b.event_id
+             AND ABS(CAST(ROUND(a.value*100) AS BIGINT)
+                     - CAST(ROUND(b.value*100) AS BIGINT)) <= 1
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_sessions FROM (

@@ -369,3 +369,84 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_value_range_join(sf_dir: str, delta_cents: int = 1) -> pd.DataFrame:
+    """RANGE JOIN — the second custom operator Ray Data lacks (SURVEY brief
+    §custom): all event pairs whose ``value``s lie within ±delta_cents of
+    each other (values are exact 2-dp quantities → the whole join runs in
+    integer cents, so band assignment and the distance predicate are
+    boundary-exact in both engines).
+
+    Physical plan: the classic BANDED range join — each row replicates to
+    its cent band and the band above (any pair within δ then co-occurs in
+    band ``max(ca, cb)``), ONE coarse ``groupby(pkey)`` exchange, and the
+    partition kernel emits a pair only in its owning band (``max(ca, cb)``
+    — exactly once globally, no dedup exchange) after the exact integer
+    distance check. Returns (id_a, id_b, value_diff_cents).
+    """
+    P = 32
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        n = len(eid)
+        band = np.concatenate([cents, cents + delta_cents])
+        return pa.table(
+            {
+                "pkey": pa.array((band % P).astype(np.int64)),
+                "band": pa.array(band),
+                "event_id": pa.array(np.tile(eid, 2)),
+                "cents": pa.array(np.tile(cents, 2)),
+            }
+        )
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "event_id"], kind="stable")
+        a_out, b_out, d_out = [], [], []
+        for band, grp in g.groupby("band", sort=False):
+            ids = grp["event_id"].to_numpy()
+            cents = grp["cents"].to_numpy()
+            m = len(ids)
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            keep = (
+                (np.abs(cents[iu] - cents[ju]) <= delta_cents)
+                & (np.maximum(cents[iu], cents[ju]) == band)  # ownership
+                & (ids[iu] != ids[ju])
+            )
+            iu, ju = iu[keep], ju[keep]
+            lo = np.minimum(ids[iu], ids[ju])
+            hi = np.maximum(ids[iu], ids[ju])
+            a_out.append(lo)
+            b_out.append(hi)
+            d_out.append(np.abs(cents[iu] - cents[ju]))
+        if not a_out:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "value_diff_cents": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out),
+                "id_b": np.concatenate(b_out),
+                "value_diff_cents": np.concatenate(d_out),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(band_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        out.drop_duplicates(["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
