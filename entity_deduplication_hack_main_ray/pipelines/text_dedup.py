@@ -200,12 +200,28 @@ def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.Data
     for a, b in zip(edges["id_a"], edges["id_b"]):
         uf.union(str(int(a)), str(int(b)))
     assign = {int(k): int(v) for k, v in uf.assignments().items()}
-    ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"]
-    out = pd.DataFrame(
-        {
-            "doc_id": ids,
-            "cluster_id": [assign.get(int(i), int(i)) for i in ids],
-        }
+    # assignment application stays distributed: broadcast the (small,
+    # edge-incident-only) map once, vectorized gather per batch — the doc_id
+    # column is never pulled to the driver
+    import ray
+
+    ref = ray.put(assign)
+
+    def apply(t: pa.Table) -> pa.Table:
+        amap = ray.get(ref)
+        ids = t["doc_id"].to_pandas()
+        cid = ids.map(amap).fillna(ids).astype("int64")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pa.Array.from_pandas(cid, type=pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(apply, batch_format="pyarrow")
+        .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
 
