@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "events_asof_join": relational.events_asof_join,
         "events_value_range_join": relational.events_value_range_join,
+        "brand_part_stats": relational.brand_part_stats,
+        "supplier_part_revenue": relational.supplier_part_revenue,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -178,6 +180,20 @@ def oracle_sql() -> dict[str, str]:
               ON a.event_id < b.event_id
              AND ABS(CAST(ROUND(a.value*100) AS BIGINT)
                      - CAST(ROUND(b.value*100) AS BIGINT)) <= 1
+        """,
+        "brand_part_stats": """
+            SELECT p_brand, COUNT(*) AS n_parts,
+                   CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) AS BIGINT)
+                     AS retail_cents
+            FROM part GROUP BY p_brand
+        """,
+        "supplier_part_revenue": """
+            SELECT p.p_type,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_sessions FROM (

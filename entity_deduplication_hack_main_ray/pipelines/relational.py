@@ -450,3 +450,110 @@ def events_value_range_join(sf_dir: str, delta_cents: int = 1) -> pd.DataFrame:
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+
+
+def brand_part_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped stats over the ``part`` table: count + retail-price cents sum
+    per brand (A4/A7 over the remaining dimension table)."""
+    ds = _t(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "price_cents": pa.array(
+                    np.round(t["p_retailprice"].to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Sum("price_cents", alias_name="retail_cents"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def supplier_part_revenue(sf_dir: str) -> pd.DataFrame:
+    """LARGE × LARGE co-partitioned hash join — the generic shuffle join the
+    broadcast pattern can't cover when NEITHER side fits in memory:
+    lineitem ⋈ part on partkey, revenue cents per part type.
+
+    Physical plan: both sides are tagged and hash-co-partitioned on the join
+    key in ONE coarse exchange (``pkey = key % P``); each partition kernel
+    runs a C-speed ``pandas.merge`` over its complete key range and
+    PRE-AGGREGATES locally (partial sums per type), so the final global
+    groupby moves only ``P × n_types`` tiny rows. At 100 TB this is the
+    standard plan: the exchange volume is the two projected inputs, once.
+    """
+    P = 32
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        pk = t["p_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pkey": pa.array((pk % P).astype(np.int64)),
+                "key": pa.array(pk),
+                "p_type": t["p_type"],
+                "revenue_e4": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        return pa.table(
+            {
+                "pkey": pa.array((pk % P).astype(np.int64)),
+                "key": pa.array(pk),
+                "p_type": pa.nulls(t.num_rows, pa.string()),
+                "revenue_e4": pa.array(
+                    np.round(price * (1.0 - disc) * 10000).astype(np.int64)
+                ),
+            }
+        )
+
+    merged = part.map_batches(tag_part, batch_format="pyarrow").union(
+        li.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_and_partial_agg(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["p_type"].notna()][["key", "p_type"]]
+        fact = g[g["revenue_e4"].notna()][["key", "revenue_e4"]].copy()
+        # the tagged union carries nulls on the other side's columns, which
+        # floats the int64 in pandas — restore exact integer arithmetic
+        fact["revenue_e4"] = fact["revenue_e4"].astype("int64")
+        j = fact.merge(dim, on="key", how="inner")
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "p_type": pd.Series(dtype="object"),
+                    "revenue_e4_partial": pd.Series(dtype="int64"),
+                    "n_partial": pd.Series(dtype="int64"),
+                }
+            )
+        agg = j.groupby("p_type", sort=False).agg(
+            revenue_e4_partial=("revenue_e4", "sum"),
+            n_partial=("revenue_e4", "size"),
+        )
+        return agg.reset_index()
+
+    out = (
+        merged.groupby("pkey")
+        .map_groups(join_and_partial_agg, batch_format="pandas")
+        .groupby("p_type")
+        .aggregate(
+            Sum("revenue_e4_partial", alias_name="revenue_e4"),
+            Sum("n_partial", alias_name="n_lineitems"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("p_type").reset_index(drop=True)
