@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_range_join": relational.events_value_range_join,
         "brand_part_stats": relational.brand_part_stats,
         "supplier_part_revenue": relational.supplier_part_revenue,
+        "supplier_nation_stats": relational.supplier_nation_stats,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -194,6 +195,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_lineitems
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_type
+        """,
+        "supplier_nation_stats": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS BIGINT)
+                     AS acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_sessions FROM (

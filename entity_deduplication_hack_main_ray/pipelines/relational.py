@@ -120,18 +120,39 @@ def segment_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 def top_order_per_customer(sf_dir: str) -> pd.DataFrame:
-    """Per-group top-k (A1: per-right-entity nlargest): groupby + map_groups.
+    """Per-group top-1 (A1: per-right-entity nlargest).
+
+    Top-1 is associative, so the plan is partial-reduce → merge: every batch
+    keeps at most one row per customer (vectorized sort + drop_duplicates),
+    the survivors are co-partitioned by ``hash(custkey) % P`` in ONE coarse
+    exchange, and each of the P partition kernels runs the SAME vectorized
+    reduction over its complete key range. Group-function invocations are
+    O(P), not O(customers) — the round-2 per-key ``map_groups`` called
+    Python once per customer, which is millions of calls at 100× key
+    cardinality.
     """
+    P = 32
     orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
-    def head1(g: pd.DataFrame) -> pd.DataFrame:
+    def best_per_key(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(1)
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates("o_custkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = best_per_key(t.to_pandas())
+        g["pkey"] = (g["o_custkey"].to_numpy() % P).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        orders.groupby("o_custkey")
-        .map_groups(head1, batch_format="pandas")
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda g: best_per_key(g).drop(columns=["pkey"]),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
     return out.sort_values("o_custkey").reset_index(drop=True)
@@ -224,6 +245,47 @@ def nation_region_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name").reset_index(drop=True)
 
 
+def supplier_nation_stats(sf_dir: str) -> pd.DataFrame:
+    """supplier ⋈ nation ⋈ region via a TWO-LEVEL broadcast chain (B5): the
+    nation→region mapping is composed driver-side into one tiny
+    suppkey-side lookup (nationkey → region name), ``ray.put`` once, probed
+    per batch — the supplier fact side streams, no shuffle join. Grouped
+    account-balance cents per region (exact integer sums)."""
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _t(sf_dir, "region").to_pandas()
+    rname = dict(zip(region["r_regionkey"].to_numpy(), region["r_name"].to_numpy()))
+    n2r = {
+        int(nk): rname[int(rk)]
+        for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    ref = ray.put(n2r)
+    supp = _t(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        names = pd.Series(
+            t["s_nationkey"].to_numpy(zero_copy_only=False)
+        ).map(lookup)
+        cents = np.round(t["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "r_name": pa.Array.from_pandas(names, type=pa.string()),
+                "acctbal_cents": pa.array(cents),
+            }
+        )
+
+    out = (
+        supp.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
 def hourly_user_windows(sf_dir: str) -> pd.DataFrame:
     """Tumbling event-time window (SURVEY.md §2.7): Ray Data has no
     watermarks, so the window IS a group key — (user_id, hour bucket) →
@@ -255,20 +317,47 @@ def hourly_user_windows(sf_dir: str) -> pd.DataFrame:
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session windows (SURVEY.md §2.7): per user, events sorted by ts;
-    a gap > ``gap_minutes`` starts a new session. Ray shape:
-    ``groupby(user).map_groups`` over the time-sorted group — the ordering
-    assumption (per-user, ts-ascending within group) is established inside
-    the group function, not globally."""
+    a gap > ``gap_minutes`` starts a new session.
+
+    Ray shape: the ``events_asof_join`` pattern — ONE coarse exchange on
+    ``hash(user_id) % P`` co-locates each user's events, and the partition
+    kernel is fully vectorized over ALL its users at once: one sort by
+    (user_id, ts), one ``diff``, session starts = (new user) ∨ (gap
+    exceeded), per-user counts via a C-speed groupby-sum. O(P) group-
+    function invocations — the round-2 per-user ``map_groups`` called
+    Python once per user."""
+    P = 32
     ds = _t(sf_dir, "events", ["user_id", "ts"])
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap_us = gap_minutes * 60_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "pkey": pa.array((uid % P).astype(np.int64)),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(ts.astype(np.int64)),
+            }
+        )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        n = int((ts.diff() > gap).sum()) + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+        g = g.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        start = new_user | (np.diff(ts, prepend=ts[:1]) > gap_us)
+        counts = pd.Series(start.astype(np.int64)).groupby(uid, sort=True).sum()
+        return pd.DataFrame(
+            {
+                "user_id": counts.index.to_numpy(),
+                "n_sessions": counts.to_numpy(),
+            }
+        )
 
     out = (
-        ds.groupby("user_id")
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("pkey")
         .map_groups(sessions, batch_format="pandas")
         .to_pandas()
     )
@@ -371,58 +460,126 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def events_value_range_join(sf_dir: str, delta_cents: int = 1) -> pd.DataFrame:
+def _sweep_pairs(cents: np.ndarray, delta: int, cap: int | None) -> tuple[
+    np.ndarray, np.ndarray, int
+]:
+    """Output-linear within-band pair enumeration: ``cents`` must be sorted
+    ascending; returns (ii, jj, n_dropped) index pairs with
+    ``cents[jj] - cents[ii] <= delta`` and ``ii < jj``.
+
+    Vectorized two-pointer sweep: per anchor ``i`` the partner count is one
+    ``searchsorted`` away, and the (i, j) index arrays are materialized at
+    OUTPUT size — never the O(m²) ``triu_indices`` block the round-2 kernel
+    allocated. ``cap`` (optional) bounds the pairs GENERATED per call for
+    degenerate bands (e.g. one price point shared by millions of rows, where
+    the true output itself is quadratic); overflow is returned as
+    ``n_dropped`` so the loss is observable, never silent.
+    """
+    m = len(cents)
+    if m < 2:
+        return np.array([], np.int64), np.array([], np.int64), 0
+    hi = np.searchsorted(cents, cents + delta, side="right")
+    counts = hi - np.arange(m) - 1  # partners strictly after each anchor
+    total = int(counts.sum())
+    dropped = 0
+    if cap is not None and total > cap:
+        cum = np.cumsum(counts)
+        cut = int(np.searchsorted(cum, cap, side="left"))
+        emitted_before = int(cum[cut - 1]) if cut else 0
+        counts = counts.copy()
+        counts[cut] = cap - emitted_before  # partial anchor at the boundary
+        counts[cut + 1 :] = 0
+        dropped = total - cap
+    tot = int(counts.sum())
+    ii = np.repeat(np.arange(m, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    jj = np.arange(tot, dtype=np.int64) - np.repeat(starts, counts) + ii + 1
+    return ii, jj, dropped
+
+
+def events_value_range_join(
+    sf_dir: str, delta_cents: int = 1, max_pairs_per_band: int | None = None
+) -> pd.DataFrame:
     """RANGE JOIN — the second custom operator Ray Data lacks (SURVEY brief
     §custom): all event pairs whose ``value``s lie within ±delta_cents of
     each other (values are exact 2-dp quantities → the whole join runs in
     integer cents, so band assignment and the distance predicate are
     boundary-exact in both engines).
 
-    Physical plan: the classic BANDED range join — each row replicates to
-    its cent band and the band above (any pair within δ then co-occurs in
-    band ``max(ca, cb)``), ONE coarse ``groupby(pkey)`` exchange, and the
-    partition kernel emits a pair only in its owning band (``max(ca, cb)``
-    — exactly once globally, no dedup exchange) after the exact integer
-    distance check. Returns (id_a, id_b, value_diff_cents).
+    Physical plan: WIDTH-δ banding — ``band = cents // δ`` — so any pair
+    within δ has band numbers differing by at most 1 for EVERY δ (the
+    round-2 per-cent bands silently dropped intermediate distances for
+    δ ≥ 2). Each row replicates to its band and the band above; a pair then
+    co-occurs in band ``max(band_a, band_b)``, which is its OWNER band —
+    emitted exactly once globally, no dedup exchange. ONE coarse
+    ``groupby(pkey)`` exchange; the partition kernel sorts each band by
+    cents and runs a vectorized two-pointer sweep (``_sweep_pairs``) that is
+    O(output), not O(m²) — one popular price point no longer allocates a
+    quadratic index block. ``max_pairs_per_band`` caps generated pairs for
+    degenerate equal-value bands (true output quadratic by definition);
+    drops are counted in logs, never silent. Returns
+    (id_a, id_b, value_diff_cents).
     """
     P = 32
+    delta = int(delta_cents)
+    width = max(delta, 1)  # δ=0 degenerates to an exact-equality join
     ds = _t(sf_dir, "events", ["event_id", "value"])
 
     def explode_bands(t: pa.Table) -> pa.Table:
         cents = np.round(t["value"].to_numpy() * 100).astype(np.int64)
         eid = t["event_id"].to_numpy(zero_copy_only=False)
-        n = len(eid)
-        band = np.concatenate([cents, cents + delta_cents])
+        band0 = np.floor_divide(cents, width)
+        band = np.concatenate([band0, band0 + 1])
         return pa.table(
             {
                 "pkey": pa.array((band % P).astype(np.int64)),
                 "band": pa.array(band),
                 "event_id": pa.array(np.tile(eid, 2)),
                 "cents": pa.array(np.tile(cents, 2)),
+                # the ORIGINAL band rides along: ownership needs
+                # max(band_a, band_b) of the un-replicated rows
+                "band0": pa.array(np.tile(band0, 2)),
             }
         )
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["band", "event_id"], kind="stable")
+        g = g.sort_values(["band", "cents", "event_id"], kind="stable")
+        band = g["band"].to_numpy()
+        cents = g["cents"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        band0 = g["band0"].to_numpy()
         a_out, b_out, d_out = [], [], []
-        for band, grp in g.groupby("band", sort=False):
-            ids = grp["event_id"].to_numpy()
-            cents = grp["cents"].to_numpy()
-            m = len(ids)
-            if m < 2:
-                continue
-            iu, ju = np.triu_indices(m, 1)
-            keep = (
-                (np.abs(cents[iu] - cents[ju]) <= delta_cents)
-                & (np.maximum(cents[iu], cents[ju]) == band)  # ownership
-                & (ids[iu] != ids[ju])
+        n_dropped = 0
+        bounds = np.nonzero(np.diff(band))[0] + 1
+        for s, e in zip(
+            np.concatenate([[0], bounds]), np.concatenate([bounds, [len(band)]])
+        ):
+            ii, jj, drop = _sweep_pairs(
+                cents[s:e], delta, max_pairs_per_band
             )
-            iu, ju = iu[keep], ju[keep]
-            lo = np.minimum(ids[iu], ids[ju])
-            hi = np.maximum(ids[iu], ids[ju])
+            n_dropped += drop
+            if not len(ii):
+                continue
+            ii += s
+            jj += s
+            keep = (
+                (np.maximum(band0[ii], band0[jj]) == band[s])  # owner band
+                & (ids[ii] != ids[jj])
+            )
+            ii, jj = ii[keep], jj[keep]
+            lo = np.minimum(ids[ii], ids[jj])
+            hi = np.maximum(ids[ii], ids[jj])
             a_out.append(lo)
             b_out.append(hi)
-            d_out.append(np.abs(cents[iu] - cents[ju]))
+            d_out.append(np.abs(cents[ii] - cents[jj]))
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "events_value_range_join: %d pairs dropped by "
+                "max_pairs_per_band=%s in degenerate bands",
+                n_dropped, max_pairs_per_band,
+            )
         if not a_out:
             return pd.DataFrame(
                 {
@@ -445,11 +602,16 @@ def events_value_range_join(sf_dir: str, delta_cents: int = 1) -> pd.DataFrame:
         .map_groups(band_pairs, batch_format="pandas")
         .to_pandas()
     )
-    return (
-        out.drop_duplicates(["id_a", "id_b"])
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
-    )
+    if out.empty:  # empty Dataset.to_pandas can drop the schema
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "value_diff_cents": pd.Series(dtype="int64"),
+            }
+        )
+    # ownership guarantees global uniqueness — no driver-side dedup net
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def brand_part_stats(sf_dir: str) -> pd.DataFrame:

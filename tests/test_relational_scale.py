@@ -1,0 +1,101 @@
+"""Scale-shape tests for the custom relational operators: the range join's
+output-linear sweep kernel (δ-generality + degenerate-band cap) and the
+O(P)-group rewrites of top-order / sessions."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from entity_deduplication_hack_main_ray.pipelines import relational
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _range_join_sql(delta: int) -> str:
+    return f"""
+        SELECT a.event_id AS id_a, b.event_id AS id_b,
+               ABS(CAST(ROUND(a.value*100) AS BIGINT)
+                   - CAST(ROUND(b.value*100) AS BIGINT)) AS value_diff_cents
+        FROM read_parquet('{SF_DIR}/events.parquet') a
+        JOIN read_parquet('{SF_DIR}/events.parquet') b
+          ON a.event_id < b.event_id
+         AND ABS(CAST(ROUND(a.value*100) AS BIGINT)
+                 - CAST(ROUND(b.value*100) AS BIGINT)) <= {delta}
+        ORDER BY id_a, id_b
+    """
+
+
+@pytest.mark.parametrize("delta", [0, 1, 2, 3, 7])
+def test_range_join_matches_duckdb_for_all_deltas(ray_session, delta):
+    """Round-2 per-cent banding silently dropped intermediate distances for
+    δ ≥ 2 (ADVICE); width-δ banding must match DuckDB for every δ."""
+    got = relational.events_value_range_join(SF_DIR, delta_cents=delta)
+    want = duckdb.sql(_range_join_sql(delta)).fetchdf()
+    assert len(got) == len(want), f"delta={delta}"
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"id_a": "int64", "id_b": "int64",
+                     "value_diff_cents": "int64"}).reset_index(drop=True),
+    )
+
+
+def test_range_join_no_duplicate_pairs(ray_session):
+    got = relational.events_value_range_join(SF_DIR, delta_cents=3)
+    assert not got.duplicated(["id_a", "id_b"]).any()
+
+
+def _write_events(tmpdir: str, values: np.ndarray) -> str:
+    os.makedirs(tmpdir, exist_ok=True)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(values), dtype=np.int64)),
+            "value": pa.array(values.astype(np.float64)),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+def test_range_join_degenerate_band_cap(ray_session, tmp_path):
+    """One popular price point: true output is quadratic; the cap bounds
+    generated pairs (observable drop), uncapped returns the full set without
+    ever allocating an O(m²) index block."""
+    m = 4000
+    d = _write_events(str(tmp_path / "deg"), np.full(m, 7.77))
+    capped = relational.events_value_range_join(
+        d, delta_cents=1, max_pairs_per_band=5000
+    )
+    assert len(capped) <= 5000
+    full = relational.events_value_range_join(d, delta_cents=1)
+    assert len(full) == m * (m - 1) // 2
+
+
+def test_range_join_spread_values_output_linear(ray_session, tmp_path):
+    """Values spaced 10 cents apart with δ=1 → zero pairs, fast."""
+    vals = np.arange(20000, dtype=np.float64) * 0.10
+    d = _write_events(str(tmp_path / "spread"), vals)
+    out = relational.events_value_range_join(d, delta_cents=1)
+    # neighbours are exactly 10 cents apart → no pair within 1 cent
+    assert len(out) == 0
+
+
+def test_sweep_pairs_kernel():
+    cents = np.array([0, 0, 1, 3, 3, 3, 10], dtype=np.int64)
+    ii, jj, dropped = relational._sweep_pairs(cents, 1, None)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    want = {(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)}
+    assert got == want and dropped == 0
+    ii, jj, dropped = relational._sweep_pairs(cents, 1, 4)
+    assert len(ii) == 4 and dropped == 2
+    # capped emission is the deterministic prefix of the sweep order
+    assert set(zip(ii.tolist(), jj.tolist())) == {
+        (0, 1), (0, 2), (1, 2), (3, 4)
+    }
