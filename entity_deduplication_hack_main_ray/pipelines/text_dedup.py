@@ -31,7 +31,6 @@ from ..functions.hashing import (
     simhash_from_stream,
 )
 from ..oracle import _KEY_PAD, owned_pair_mask
-from ..state.unionfind import UnionFind
 
 
 def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -135,6 +134,13 @@ def _signed(
     )
 
 
+def _pad20(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """int64 id → zero-padded 20-char string: lexicographic order == numeric
+    order, so the string-keyed clustering machinery's min-label semantics
+    stay numeric-min for integer doc ids."""
+    return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+
+
 def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.DataFrame:
     """MinHash+LSH near-dedup (shingle→minhash→band→bucket-groupby):
     returns (doc_id, cluster_id) with cluster_id = min doc_id of the
@@ -143,86 +149,105 @@ def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.Data
     Candidate pairs here use digest equality (full-signature match) as the
     pass rule — the documents table has no verification payload column; the
     full verified pipeline is the corpus flagship.
+
+    Scale shape: identical digest ⇒ identical signature ⇒ identical band
+    keys, so the same star pair would re-emerge in EVERY band bucket —
+    min-shared-key OWNERSHIP (``oracle.owned_pair_mask``, each exploded row
+    carrying its doc's full key list) kills the cross-band duplicates at
+    the source, no driver-side dedup. The edge Dataset then feeds the
+    flagship's adaptive clustering (``stages/cluster.cluster_assignments``:
+    vectorized driver min-label propagation under the edge bound, Hash-Min
+    distributed label propagation above it) and the assignment is applied
+    as a broadcast (dict path) or via the flagship's two-exchange
+    distributed apply — the edge list is never ``.to_pandas()``'d whole.
     """
     cfg = cfg or PipelineConfig()
     signed = _signed(sf_dir, cfg)
-
     P = 64  # coarse shuffle partitions (see stages/candidates.py rationale)
-
-    def explode(t: pa.Table) -> pa.Table:
-        keys = t["keys"]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        parent = pc.list_parent_indices(keys)
-        sel = t.select(["doc_id", "digest"]).take(parent)
-        flat = keys.flatten()
-        pkey = flat.to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(P)
-        return pa.table(
-            {
-                "pkey": pa.array(pkey.astype(np.int64)),
-                "band_key": flat,
-                "doc_id": sel["doc_id"],
-                "digest": sel["digest"],
-            }
-        )
+    cands = _explode_with_keys(signed, P, ["doc_id", "digest"])
 
     def partition_pairs(g: pa.Table) -> pa.Table:
         """All buckets of one coarse partition, regrouped vectorized: emit
-        (min_doc → other) star pairs within same-(bucket, digest) groups."""
-        band = g["band_key"].to_numpy(zero_copy_only=False)
+        (min_doc → other) star pairs within same-(bucket, digest) groups,
+        kept only in the pair's OWNER bucket (min shared key)."""
+        band = g["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
         dig = g["digest"].to_numpy(zero_copy_only=False)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, dig, band))
         b_s, d_s, i_s = band[order], dig[order], ids[order]
         new_grp = np.concatenate(
-            [[True], (np.diff(b_s) != 0) | (np.diff(d_s) != 0)]
+            [[True], (np.diff(b_s.view(np.int64)) != 0) | (np.diff(d_s) != 0)]
         )
         grp_id = np.cumsum(new_grp) - 1
-        firsts = i_s[new_grp][grp_id]  # min doc_id of each group, broadcast
-        mask = (firsts != i_s)
-        a_out, b_out = firsts[mask], i_s[mask]
-        keep = a_out != b_out
+        first_rows = order[new_grp][grp_id]  # row idx of each group's min doc
+        mask = i_s != ids[first_rows]  # star: min doc → every other member
+        ai = first_rows[mask]
+        aj = order[mask]
+        ak = b_s[mask]
+        if not len(ai):
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.string()),
+                    "id_b": pa.array([], pa.string()),
+                }
+            )
+        own = owned_pair_mask(ai, aj, ak, _key_matrix_int64(g))
+        ai, aj = ai[own], aj[own]
         return pa.table(
             {
-                "id_a": pa.array(a_out[keep], pa.int64()),
-                "id_b": pa.array(b_out[keep], pa.int64()),
+                "id_a": _pad20(pa.array(ids[ai], pa.int64())),
+                "id_b": _pad20(pa.array(ids[aj], pa.int64())),
             }
         )
 
     edges = (
-        signed.map_batches(explode, batch_format="pyarrow")
-        .groupby("pkey")
+        cands.groupby("pkey")
         .map_groups(partition_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
     )
-    uf = UnionFind()
-    for a, b in zip(edges["id_a"], edges["id_b"]):
-        uf.union(str(int(a)), str(int(b)))
-    assign = {int(k): int(v) for k, v in uf.assignments().items()}
-    # assignment application stays distributed: broadcast the (small,
-    # edge-incident-only) map once, vectorized gather per batch — the doc_id
-    # column is never pulled to the driver
-    import ray
+    from ..stages.cluster import cluster_assignments
 
-    ref = ray.put(assign)
+    assign = cluster_assignments(edges, cfg)
+    doc_ids = _docs(sf_dir, ["doc_id"])
+    if isinstance(assign, dict):
+        amap_int = {int(k): int(v) for k, v in assign.items()}
+        import ray
 
-    def apply(t: pa.Table) -> pa.Table:
-        amap = ray.get(ref)
-        ids = t["doc_id"].to_pandas()
-        cid = ids.map(amap).fillna(ids).astype("int64")
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "cluster_id": pa.Array.from_pandas(cid, type=pa.int64()),
-            }
+        ref = ray.put(amap_int)
+
+        def apply(t: pa.Table) -> pa.Table:
+            amap = ray.get(ref)
+            ids = t["doc_id"].to_pandas()
+            cid = ids.map(amap).fillna(ids).astype("int64")
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "cluster_id": pa.Array.from_pandas(cid, type=pa.int64()),
+                }
+            )
+
+        out = doc_ids.map_batches(apply, batch_format="pyarrow").to_pandas()
+    else:
+        # distributed labels: reuse the flagship's two-exchange apply over
+        # padded string ids, then map back to int64
+        from .dedup import _apply_assignments_distributed
+
+        as_str = doc_ids.map_batches(
+            lambda t: pa.table({"image_id": _pad20(t["doc_id"])}),
+            batch_format="pyarrow",
         )
-
-    out = (
-        _docs(sf_dir, ["doc_id"])
-        .map_batches(apply, batch_format="pyarrow")
-        .to_pandas()
-    )
+        clustered = _apply_assignments_distributed(as_str, assign)
+        out = (
+            clustered.map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": pc.cast(t["image_id"], pa.int64()),
+                        "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

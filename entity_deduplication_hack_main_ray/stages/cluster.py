@@ -73,12 +73,21 @@ def cluster_edges_driver(edges: ray.data.Dataset) -> dict[str, str]:
 def cluster_edges_adaptive(
     edges: ray.data.Dataset, max_edges: int
 ) -> dict[str, str] | ray.data.Dataset:
-    """ONE streaming pass: union edges on the driver while counting; if the
-    stream exceeds ``max_edges``, abandon the partial union-find and fall
-    back to the distributed path. Saves the separate ``count()`` execution
-    of the edge pipeline that the two-phase decision cost (the common case —
-    verified edges ≪ corpus — pays exactly one pass)."""
-    uf = UnionFind()
+    """ONE streaming pass: buffer edge ARRAYS on the driver while counting;
+    if the stream exceeds ``max_edges``, drop the buffer and fall back to
+    the distributed path — note the fallback RE-EXECUTES the edge pipeline
+    from its (materialized) source, so the single-pass saving only holds on
+    the common small-edges path; the bound is the price of not running a
+    separate count() execution up front.
+
+    Under the bound the buffered edges resolve via VECTORIZED min-label
+    propagation: one ``np.unique`` factorization (sorted uniques ⇒ the
+    numeric label minimum IS the lexicographic-minimum id, matching the
+    distributed hash-to-min semantics), then C-speed ``np.minimum.at``
+    rounds with pointer jumping to a fixpoint — no per-edge Python loop
+    (the round-2 driver path ran ``uf.union`` once per edge)."""
+    chunks_a: list[np.ndarray] = []
+    chunks_b: list[np.ndarray] = []
     n = 0
     for batch in edges.select_columns(["id_a", "id_b"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
@@ -86,9 +95,28 @@ def cluster_edges_adaptive(
         n += batch.num_rows
         if n > max_edges:
             return cluster_edges_distributed(edges)
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            uf.union(a, b)
-    return uf.assignments()
+        chunks_a.append(batch["id_a"].to_numpy(zero_copy_only=False))
+        chunks_b.append(batch["id_b"].to_numpy(zero_copy_only=False))
+    if not chunks_a:
+        return {}
+    a = np.concatenate(chunks_a)
+    b = np.concatenate(chunks_b)
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ac, bc = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        before = label
+        label = label.copy()
+        np.minimum.at(label, ac, label[bc])
+        np.minimum.at(label, bc, label[ac])
+        while True:  # pointer jumping: label ← label[label] to fixpoint
+            nxt = label[label]
+            if np.array_equal(nxt, label):
+                break
+            label = nxt
+        if np.array_equal(label, before):
+            break
+    return {uniq[i]: uniq[label[i]] for i in range(len(uniq))}
 
 
 def cluster_edges_distributed(

@@ -44,6 +44,65 @@ def test_minhash_lsh_groups_exact_duplicates(ray_session):
     assert clusters.equals(again)
 
 
+def _minhash_reference(cfg):
+    """Single-process reference for minhash_lsh_dedup: sign every doc with
+    the same DocSigner, bucket by (band_key, digest), union-find."""
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import DocSigner
+    from entity_deduplication_hack_main_ray.state.unionfind import UnionFind
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    signed = DocSigner(cfg)(t)
+    ids = signed["doc_id"].to_numpy()
+    digests = signed["digest"].to_numpy()
+    keys = signed["keys"].to_pylist()
+    buckets = {}
+    for i in range(len(ids)):
+        for k in keys[i]:
+            buckets.setdefault((k, digests[i]), []).append(int(ids[i]))
+    uf = UnionFind()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for other in ms[1:]:
+            uf.union(f"{ms[0]:020d}", f"{other:020d}")
+    assign = {int(k): int(v) for k, v in uf.assignments().items()}
+    return {int(i): assign.get(int(i), int(i)) for i in ids}
+
+
+def test_minhash_lsh_matches_single_process_reference(ray_session):
+    """The ownership + shared-clustering rewrite must agree exactly with a
+    brute single-process bucketing of the same signatures."""
+    from entity_deduplication_hack_main_ray.config import PipelineConfig
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        minhash_lsh_dedup,
+    )
+
+    cfg = PipelineConfig()
+    got = minhash_lsh_dedup(SF, cfg)
+    want = _minhash_reference(cfg)
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_minhash_lsh_distributed_clustering_path(ray_session):
+    """driver_uf_max_edges=0 forces the Hash-Min distributed path + the
+    two-exchange distributed apply; output must be identical."""
+    import dataclasses
+
+    from entity_deduplication_hack_main_ray.config import PipelineConfig
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        minhash_lsh_dedup,
+    )
+
+    base = minhash_lsh_dedup(SF, PipelineConfig())
+    forced = minhash_lsh_dedup(
+        SF, dataclasses.replace(PipelineConfig(), driver_uf_max_edges=0)
+    )
+    pd.testing.assert_frame_equal(
+        base.reset_index(drop=True), forced.reset_index(drop=True)
+    )
+
+
 def test_ngram_jaccard_pairs_above_threshold(ray_session):
     from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
         ngram_jaccard_pairs,
