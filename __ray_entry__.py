@@ -224,6 +224,26 @@ def oracle_sql() -> dict[str, str]:
                                    x -> x <> '')) AS n_tokens
             FROM documents
         """,
+        "doc_quality": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars,
+                   CASE WHEN LENGTH(text) = 0 THEN 0 ELSE
+                     CAST(FLOOR(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS DOUBLE)
+                                / LENGTH(text) * 1000000 + 0.5) AS BIGINT)
+                   END AS punct_ratio_e6,
+                   CASE WHEN LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\w+')) = 0 THEN 0 ELSE
+                     CAST(FLOOR(CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                            '\\b(?:the|a|an|and|or|of|to|in|is|are|was|were|be|for|on|with|as|by|at|it|this|that|from)\\b')) AS DOUBLE)
+                                / LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\w+'))
+                                * 1000000 + 0.5) AS BIGINT)
+                   END AS stopword_ratio_e6,
+                   CASE WHEN LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\w+')) = 0 THEN 0 ELSE
+                     CAST(FLOOR(CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\w')) AS DOUBLE)
+                                / LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\w+'))
+                                * 1000000 + 0.5) AS BIGINT)
+                   END AS mean_word_len_e6
+            FROM documents
+        """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
         """,
@@ -247,9 +267,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cos_sim_e6 FROM scored WHERE rn <= 5
         """,
-        # doc_quality / lang_distribution / doc_fingerprints /
-        # minhash_lsh_dedup_docs / simhash_* / ngram_jaccard_pairs /
-        # ann_lsh_topk / embedding_near_dup_pairs / image_dedup_* /
-        # golden_eval: non-SQL-expressible (seeded hash families, heuristic
-        # models, LSH approximations, synthetic corpus) → rows-only checks.
+        # lang_distribution / doc_fingerprints / minhash_lsh_dedup_docs /
+        # simhash_* / ngram_jaccard_pairs / ann_lsh_topk /
+        # embedding_near_dup_pairs / image_dedup_* / golden_eval:
+        # non-SQL-expressible (seeded hash families, heuristic models, LSH
+        # approximations, synthetic corpus) → rows-only checks, each with a
+        # value-asserting pytest.
     }

@@ -256,8 +256,25 @@ def substring_contained(a: str, b: str, sa_threshold: int = 4096) -> bool:
 # ---------------------------------------------------------------------------
 
 _TOKEN = re.compile(r"[A-Za-z0-9_']+|[^\sA-Za-z0-9_']")
-_WORD = re.compile(r"[A-Za-z']+")
-_PUNCT = re.compile(r"[^\w\s]")
+
+# Quality-feature patterns, shared verbatim by three consumers: the scalar
+# kernel below (compiled with re.ASCII so Python \w matches RE2's
+# ASCII-only \w), the vectorized Arrow batch kernel
+# (pipelines/text_analysis.py, pyarrow count_substring_regex) and the DuckDB
+# oracle SQL (__ray_entry__.py) — one definition, three engines, identical
+# counts.
+QUALITY_PUNCT_RE = r"[^\w\s]"
+QUALITY_WORD_RE = r"\w+"
+QUALITY_WCHAR_RE = r"\w"
+_STOPWORD_LIST = (
+    "the a an and or of to in is are was were be for on with as by at it "
+    "this that from"
+).split()
+QUALITY_STOP_RE = r"\b(?:" + "|".join(_STOPWORD_LIST) + r")\b"
+
+_WORD = re.compile(QUALITY_WORD_RE, re.ASCII)
+_PUNCT = re.compile(QUALITY_PUNCT_RE, re.ASCII)
+_STOP = re.compile(QUALITY_STOP_RE, re.ASCII)
 
 # top character-trigram inventories per language, derived from public
 # frequency tables (small heuristic n-gram lang-id, not a trained model)
@@ -297,33 +314,54 @@ def whitespace_token_count(text: str) -> int:
     return len(text.split())
 
 
-_STOPWORDS = frozenset(
-    "the a an and or of to in is are was were be for on with as by at it "
-    "this that from".split()
-)
+_STOPWORDS = frozenset(_STOPWORD_LIST)
 
 
 def quality_features(text: str) -> tuple[int, float, float, float]:
     """(n_chars, punct_ratio, stopword_ratio, mean_word_len) — the standard
-    cheap quality signals for training-data filtering."""
+    cheap quality signals for training-data filtering.
+
+    Words are ASCII ``\\w+`` runs (so the scalar, the Arrow batch kernel and
+    the DuckDB oracle — all RE2-pattern engines — count identically); the
+    stopword count is occurrences of the ``QUALITY_STOP_RE`` alternation,
+    which equals set-membership counting because the ``\\b`` anchors only
+    match whole ``\\w+`` runs."""
     n = len(text)
     if n == 0:
         return 0, 0.0, 0.0, 0.0
     punct = len(_PUNCT.findall(text))
-    words = _WORD.findall(text.lower())
-    stop = sum(1 for w in words if w in _STOPWORDS)
-    mean_len = float(np.mean([len(w) for w in words])) if words else 0.0
-    return n, punct / n, (stop / len(words)) if words else 0.0, mean_len
+    low = text.lower()
+    words = _WORD.findall(low)
+    stop = len(_STOP.findall(low))
+    n_words = len(words)
+    wchars = sum(len(w) for w in words)
+    return (
+        n,
+        punct / n,
+        (stop / n_words) if n_words else 0.0,
+        (wchars / n_words) if n_words else 0.0,
+    )
+
+
+def fingerprint64_batch(texts: list[str], window: int = 8) -> np.ndarray:
+    """Winnowing-style document fingerprints for a whole batch: ONE rolling-
+    hash pass over the concatenated bytes (``shingle_hash_stream``) and a
+    single ``np.minimum.reduceat`` for the per-doc min — no per-document
+    Python/numpy call chain. Texts shorter than the window are NUL-padded to
+    one shingle (the stream kernel's convention). Returns int64 (the uint64
+    min reinterpreted, matching Arrow's signed storage)."""
+    if not texts:
+        return np.empty(0, dtype=np.int64)
+    stream, offsets = _shingle_hash_stream(texts, window, seed=0x51)
+    return np.minimum.reduceat(stream, offsets[:-1]).view(np.int64)
 
 
 def fingerprint64(text: str, window: int = 8) -> int:
-    """Winnowing-style document fingerprint: min rolling-hash over windows,
-    folded to 64 bits — stable under small edits away from the min site."""
+    """Scalar convenience wrapper over ``fingerprint64_batch``."""
     # module-level import (bottom of file) — a function-local package import
     # would re-import by name inside Ray workers, defeating the by-value
     # pickling the driver contract relies on
-    v = int(_shingle_hashes(text, window, seed=0x51).min())
-    return v - (1 << 64) if v >= (1 << 63) else v
+    return int(fingerprint64_batch([text], window)[0])
 
 
-from .hashing import shingle_hashes as _shingle_hashes  # noqa: E402
+from .hashing import shingle_hash_stream as _shingle_hash_stream  # noqa: E402

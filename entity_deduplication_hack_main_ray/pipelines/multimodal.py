@@ -186,16 +186,30 @@ def video_frame_pipeline(
     videos: ray.data.Dataset,
     every_n_frames: int = 30,
     cfg: PipelineConfig | None = None,
+    keep_failed: bool = False,
 ) -> ray.data.Dataset:
     """(media_id, bytes, fmt) videos → one row per sampled frame. Small
-    batches (rows are wide) on an actor pool; frames re-encoded PNG."""
+    batches (rows are wide) on an actor pool; frames re-encoded PNG.
+
+    Undecodable media become ``ok=False`` sentinel rows (frame_idx=-1,
+    empty ``frame_png``) INSIDE the stage; by default they are filtered
+    here so downstream image stages never see an empty payload — pass
+    ``keep_failed=True`` to audit decode failures instead."""
     cfg = cfg or PipelineConfig()
-    return videos.map_batches(
+    frames = videos.map_batches(
         VideoFrameSample,
         fn_constructor_kwargs={"every_n_frames": every_n_frames},
         batch_format="pyarrow",
         batch_size=max(8, cfg.image_batch_size // 8),
         concurrency=(1, 4),
+    )
+    if keep_failed:
+        return frames
+    return frames.map_batches(
+        lambda t: t.filter(t["ok"].combine_chunks()
+                           if isinstance(t["ok"], pa.ChunkedArray)
+                           else t["ok"]),
+        batch_format="pyarrow",
     )
 
 

@@ -10,8 +10,10 @@ spawn cost, and with operator fusion into the read.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -23,13 +25,13 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
 
 
 def _stats_batch(t: pa.Table) -> pa.Table:
-    texts = t["text"].to_pylist()
+    # fully Arrow: utf8_length + one RE2 scan — no Python per row
     return pa.table(
         {
             "doc_id": t["doc_id"],
-            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
-            "n_tokens": pa.array(
-                [tx.whitespace_token_count(s) for s in texts], pa.int64()
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
             ),
         }
     )
@@ -44,15 +46,38 @@ def doc_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _e6_ratio(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """floor(num/den * 1e6 + 0.5) with 0 where den == 0 — the exact-integer
+    contract shared with the DuckDB oracle (identical double ops both sides,
+    so value hashes cannot diverge on rounding mode)."""
+    r = np.zeros(len(num), dtype=np.float64)
+    nz = den > 0
+    r[nz] = num[nz].astype(np.float64) / den[nz].astype(np.float64)
+    return np.floor(r * 1e6 + 0.5).astype(np.int64)
+
+
 def _quality_batch(t: pa.Table) -> pa.Table:
-    rows = [tx.quality_features(s) for s in t["text"].to_pylist()]
+    """Vectorized quality features: every count is one Arrow RE2 kernel over
+    the batch (``tx.QUALITY_*_RE`` — the same patterns the scalar
+    ``tx.quality_features`` and the DuckDB oracle use)."""
+    txt = t["text"]
+    low = pc.utf8_lower(txt)
+
+    def cnt(col, pat):
+        return pc.count_substring_regex(col, pat).to_numpy(zero_copy_only=False)
+
+    n = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+    punct = cnt(txt, tx.QUALITY_PUNCT_RE)
+    words = cnt(low, tx.QUALITY_WORD_RE)
+    wchars = cnt(low, tx.QUALITY_WCHAR_RE)
+    stops = cnt(low, tx.QUALITY_STOP_RE)
     return pa.table(
         {
             "doc_id": t["doc_id"],
-            "n_chars": pa.array([r[0] for r in rows], pa.int64()),
-            "punct_ratio": pa.array([r[1] for r in rows], pa.float64()),
-            "stopword_ratio": pa.array([r[2] for r in rows], pa.float64()),
-            "mean_word_len": pa.array([r[3] for r in rows], pa.float64()),
+            "n_chars": pa.array(n.astype(np.int64)),
+            "punct_ratio_e6": pa.array(_e6_ratio(punct, n)),
+            "stopword_ratio_e6": pa.array(_e6_ratio(stops, words)),
+            "mean_word_len_e6": pa.array(_e6_ratio(wchars, words)),
         }
     )
 
@@ -95,12 +120,13 @@ def lang_distribution(sf_dir: str) -> pd.DataFrame:
 
 
 def _fingerprint_batch(t: pa.Table) -> pa.Table:
+    # one rolling-hash pass over the batch + a reduceat min per doc — no
+    # per-document numpy call chain
     return pa.table(
         {
             "doc_id": t["doc_id"],
             "fingerprint": pa.array(
-                [tx.fingerprint64(s) for s in t["text"].to_pylist()],
-                pa.int64(),
+                tx.fingerprint64_batch(t["text"].to_pylist()), pa.int64()
             ),
         }
     )

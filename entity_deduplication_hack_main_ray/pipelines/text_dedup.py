@@ -50,7 +50,7 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     from ..functions import text as tx
 
     def add_fp(t: pa.Table) -> pa.Table:
-        fp = [tx.fingerprint64(s) for s in t["text"].to_pylist()]
+        fp = tx.fingerprint64_batch(t["text"].to_pylist())
         return t.append_column("fp", pa.array(fp, pa.int64()))
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -299,20 +299,71 @@ def _key_matrix_int64(g: pa.Table) -> np.ndarray:
     return mat
 
 
+def _hot_band_keys(
+    exploded: ray.data.Dataset, max_bucket: int
+) -> np.ndarray:
+    """Global hot-key discovery: distinct-(key, doc) counts per band_key,
+    pre-aggregated per batch (a doc's exploded rows stay in one batch, so
+    per-batch dedup is globally exact), ONE tiny groupby — returns the
+    sorted uint64 keys whose bucket population exceeds ``max_bucket``.
+
+    This is the broadcast side of hot-bucket ownership TRANSFER: without
+    it, a pair whose min shared key lands in a skipped hot bucket dies
+    globally even when the docs also share a small bucket (the round-2
+    silent-loss ADVICE finding)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        band = t["band_key"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([band, doc], axis=1), axis=0)
+        keys, counts = np.unique(u[:, 0], return_counts=True)
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.int64()),
+                "n_partial": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        exploded.select_columns(["band_key", "doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("band_key")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], pa.scalar(max_bucket))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if hot.empty:
+        return np.array([], dtype=np.uint64)
+    return np.sort(hot["band_key"].to_numpy().view(np.uint64))
+
+
 def _owned_bucket_pairs(
-    g: pa.Table, max_bucket: int
+    g: pa.Table, max_bucket: int, hot_keys: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared candidate kernel for the int-doc_id pipelines: re-group one
     coarse partition by band_key, all-pairs within buckets (≤ max_bucket;
-    larger buckets counted + skipped — these document pipelines have no
-    digest-refinement payload), then min-shared-key ownership. Returns
-    (row_idx_a, row_idx_b) into ``g`` with id_a < id_b by doc_id."""
+    larger buckets SKIPPED with a logged stat — these document pipelines
+    have no digest-refinement payload), then min-shared-key ownership.
+
+    ``hot_keys`` (sorted uint64, from ``_hot_band_keys``) enables ownership
+    TRANSFER: hot keys are masked out of every doc's key list before the
+    min-shared-key test, so a pair co-occurring in both a hot and a small
+    bucket is owned by its minimum NON-hot shared key instead of silently
+    dying with the skipped hot bucket. Pairs whose every shared key is hot
+    are still lost — that loss is exactly the logged skip stat.
+
+    Returns (row_idx_a, row_idx_b) into ``g`` with id_a < id_b by doc_id."""
     band = g["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
     ids = g["doc_id"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, band))
     b_s, i_s = band[order], ids[order]
-    bounds = np.nonzero(np.diff(b_s))[0] + 1
+    bounds = np.nonzero(np.diff(b_s.view(np.int64)))[0] + 1
     ai, aj, ak = [], [], []
+    n_hot_skipped = 0
+    hot_member_total = 0
     for s, e in zip(
         np.concatenate([[0], bounds]), np.concatenate([bounds, [len(b_s)]])
     ):
@@ -322,18 +373,37 @@ def _owned_bucket_pairs(
         uniq_ids, first = np.unique(i_s[s:e], return_index=True)
         rows = rows[first]
         m = len(rows)
-        if m < 2 or m > max_bucket:
+        if m < 2:
+            continue
+        if m > max_bucket:
+            n_hot_skipped += 1
+            hot_member_total += m
             continue
         iu, ju = np.triu_indices(m, 1)
         ai.append(rows[iu])
         aj.append(rows[ju])
         ak.append(np.full(len(iu), b_s[s], dtype=np.uint64))
+    if n_hot_skipped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_owned_bucket_pairs: skipped %d hot buckets (>%d members, "
+            "%d member rows) — pairs shared ONLY through hot buckets are "
+            "dropped%s",
+            n_hot_skipped, max_bucket, hot_member_total,
+            "" if hot_keys is not None and len(hot_keys)
+            else " (no hot-key transfer set supplied)",
+        )
     if not ai:
         return np.array([], np.int64), np.array([], np.int64)
     ai = np.concatenate(ai)
     aj = np.concatenate(aj)
     ak = np.concatenate(ak)
-    own = owned_pair_mask(ai, aj, ak, _key_matrix_int64(g))
+    mat = _key_matrix_int64(g)
+    if hot_keys is not None and len(hot_keys):
+        mat = mat.copy()
+        mat[np.isin(mat, hot_keys)] = _KEY_PAD  # transfer ownership
+    own = owned_pair_mask(ai, aj, ak, mat)
     return ai[own], aj[own]
 
 
@@ -349,15 +419,25 @@ def ngram_jaccard_pairs(
     per-worker shingle-set cache — no driver-side table materialization,
     and ownership makes every pair unique without a dedup exchange.
     """
+    import ray
+
     cfg = cfg or PipelineConfig()
     signed = _signed(sf_dir, cfg, carry_text=True)
     P = 64
     cands = _explode_with_keys(signed, P, ["doc_id", "text"])
 
     max_bucket = cfg.max_bucket
+    # hot-key transfer set: one cheap pre-aggregated pass over a text-free
+    # re-sign (signatures only; the text payload never moves twice)
+    hot_ref = ray.put(
+        _hot_band_keys(
+            _explode_with_keys(_signed(sf_dir, cfg), P, ["doc_id"]),
+            max_bucket,
+        )
+    )
 
     def emit(g: pa.Table) -> pa.Table:
-        ia, ib = _owned_bucket_pairs(g, max_bucket)
+        ia, ib = _owned_bucket_pairs(g, max_bucket, ray.get(hot_ref))
         if not len(ia):
             return pa.table(
                 {
@@ -475,9 +555,19 @@ def simhash_near_pairs(
         )
 
     max_bucket = 512
+    import ray
+
+    hot_ref = ray.put(
+        _hot_band_keys(
+            _signed(sf_dir, cfg).map_batches(
+                chunk_explode, batch_format="pyarrow"
+            ),
+            max_bucket,
+        )
+    )
 
     def emit(g: pa.Table) -> pa.Table:
-        ia, ib = _owned_bucket_pairs(g, max_bucket)
+        ia, ib = _owned_bucket_pairs(g, max_bucket, ray.get(hot_ref))
         if not len(ia):
             return pa.table(
                 {

@@ -24,16 +24,26 @@ def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset
 
     The read is split into at least ~2 blocks per cluster CPU
     (``override_num_blocks``): downstream signature/explode stages are
-    TASK-pool maps that FUSE with the read, so a corpus stored as a few
+    TASK-pool maps that FUSE with the read, so a corpus stored as a FEW
     large files would otherwise pin the whole fused chain to a few tasks
     and idle the cluster (measured 5× on the 38k-row bench corpus, which
-    is 2 parquet files).
+    is 2 parquet files). Ray treats the override as an exact target, so it
+    is applied ONLY when it would INCREASE parallelism: a corpus already
+    stored as ≥ 2×CPU files (the 100 TB shape) keeps Ray's native
+    per-file/row-group splitting — overriding there would COALESCE many
+    files into a few giant read tasks (a memory + straggler hazard).
     """
     blocks = None
     try:
         cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
         if cpus:
-            blocks = cpus * 2
+            n_files = 1
+            if os.path.isdir(path):
+                n_files = sum(
+                    1 for f in os.listdir(path) if not f.startswith((".", "_"))
+                )
+            if n_files < cpus * 2:
+                blocks = cpus * 2
     except Exception:
         blocks = None
     if os.path.isdir(path) and any(

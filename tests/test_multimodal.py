@@ -122,3 +122,38 @@ def test_video_real_formats_stub_gated():
 
     with pytest.raises(UnsupportedFormatError):
         decode_video(b"...", "mp4")
+
+
+def test_video_pipeline_filters_failed_decodes(ray_session):
+    """Undecodable media must not reach downstream image stages as empty
+    payloads (default), but stay auditable with keep_failed=True."""
+    import ray.data
+
+    from entity_deduplication_hack_main_ray.functions.codecs import (
+        encode_fake_video,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.multimodal import (
+        video_frame_pipeline,
+    )
+
+    import numpy as np
+
+    frames = np.zeros((4, 8, 8, 3), dtype=np.uint8)
+    videos = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(["good", "bad"], pa.string()),
+                "bytes": pa.array(
+                    [encode_fake_video(frames, fps=5), b"\x00ftypmp42"],
+                    pa.binary(),
+                ),
+                "fmt": pa.array(["fvid", "mp4"], pa.string()),
+            }
+        )
+    )
+    out = video_frame_pipeline(videos, every_n_frames=2).to_pandas()
+    assert out["ok"].all() and set(out["media_id"]) == {"good"}
+    audited = video_frame_pipeline(
+        videos, every_n_frames=2, keep_failed=True
+    ).to_pandas()
+    assert set(audited[~audited["ok"]]["media_id"]) == {"bad"}

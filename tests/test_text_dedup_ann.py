@@ -198,3 +198,63 @@ def test_ivf_topk_degenerates_to_brute_force(ray_session):
     merged = pd.merge(narrow, bf, on=["query_id", "vec_id"], suffixes=("_i", "_b"))
     if len(merged):
         assert (merged["cos_sim_e6_i"] == merged["cos_sim_e6_b"]).all()
+
+
+def test_hot_bucket_ownership_transfer():
+    """A pair whose MIN shared key is a hot (skipped) bucket must survive via
+    its smallest NON-hot shared key when the hot-key transfer set is passed —
+    the round-2 kernel silently dropped it (ADVICE finding)."""
+    import pyarrow as pa
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        _owned_bucket_pairs,
+    )
+
+    H, S = 10, 20  # hot key < small key → min shared key is the hot one
+    rows = []
+    # hot bucket H: docs 1..5 (max_bucket=3 → skipped)
+    for d in range(1, 6):
+        keys = [H, S] if d in (1, 2) else [H]
+        rows.append((H, d, keys))
+    # small bucket S: docs 1 and 2
+    rows.append((S, 1, [H, S]))
+    rows.append((S, 2, [H, S]))
+    g = pa.table(
+        {
+            "band_key": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "keys": pa.array([r[2] for r in rows], pa.list_(pa.int64())),
+        }
+    )
+    ids = g["doc_id"].to_numpy()
+    # without the transfer set: ownership points at the skipped hot bucket
+    ia, ib = _owned_bucket_pairs(g, max_bucket=3)
+    assert len(ia) == 0
+    # with it: the pair transfers to bucket S and survives exactly once
+    hot = np.array([H], dtype=np.uint64)
+    ia, ib = _owned_bucket_pairs(g, max_bucket=3, hot_keys=hot)
+    got = {tuple(sorted((int(ids[a]), int(ids[b])))) for a, b in zip(ia, ib)}
+    assert got == {(1, 2)}
+
+
+def test_hot_band_keys_discovery(ray_session):
+    """_hot_band_keys finds exactly the over-populated keys."""
+    import pyarrow as pa
+    import ray.data
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        _hot_band_keys,
+    )
+
+    band = [7] * 10 + [9] * 2
+    doc = list(range(10)) + [100, 101]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "band_key": pa.array(band, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+            }
+        )
+    )
+    hot = _hot_band_keys(ds, max_bucket=4)
+    assert hot.tolist() == [7]
