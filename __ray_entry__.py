@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.lsh_bucketed_topk,
         "ann_ivf_topk": ann.ivf_topk,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
+        "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
         # ---- the image+caption flagship (input_hint corpus) ---------------
         "image_dedup_clusters": corpus_dedup.image_dedup_clusters,
         "image_dedup_edges": corpus_dedup.image_dedup_edges,

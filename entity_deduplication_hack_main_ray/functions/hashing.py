@@ -435,3 +435,36 @@ def phash64(pixels: np.ndarray, dct: np.ndarray | None = None) -> int:
     for i in np.nonzero(bits)[0]:
         v |= 1 << int(i)
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def hashed_ngram_embed(
+    texts: list[str], dim: int = 128, k: int = 3, seed: int = 42
+) -> np.ndarray:
+    """Deterministic dense text embedding by FEATURE HASHING (the public
+    hashing-trick construction, Weinberger et al. 2009): each character
+    k-gram hashes to one of ``dim`` buckets with a ±1 sign bit, occurrence
+    counts accumulate, rows L2-normalize. The text analog of
+    ``multimodal.ImageEmbed`` — the engine's stand-in for the reference's
+    learned sentence embedder (reference ``Run_Sembedding.py:18``,
+    ``dedup_pipeline.py:34-48``), with the same contract: similar texts →
+    high cosine, computable batched with no model weights.
+
+    Vectorized: ONE rolling-hash pass over the batch
+    (``shingle_hash_stream``) + one scatter-add; no per-document Python.
+    Empty/short texts hash their padded single shingle (unit vector).
+    """
+    n = len(texts)
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    stream, offsets = shingle_hash_stream([t.lower() for t in texts], k, seed)
+    idx = (stream % np.uint64(dim)).astype(np.int64)
+    sign = (
+        ((stream >> np.uint64(32)) & np.uint64(1)).astype(np.float64) * 2.0
+        - 1.0
+    )
+    doc = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    M = np.zeros((n, dim), dtype=np.float64)
+    np.add.at(M, (doc, idx), sign)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return M / norms

@@ -21,12 +21,16 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # label column pruned at the read: every ANN query needs only id+vector
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
 
 
 def _stack(col) -> np.ndarray:
@@ -196,12 +200,16 @@ def lsh_bucketed_topk(
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
-def embedding_near_dup_pairs(
-    sf_dir: str, threshold: float = 0.98, n_planes: int = 12, seed: int = 42
+def near_dup_pairs_dataset(
+    ds: ray.data.Dataset,
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    seed: int = 42,
 ) -> pd.DataFrame:
-    """Embedding-cosine near-duplicate pairs, fully distributed: hyperplane
-    LSH bucket per vector in ``map_batches`` → ONE ``groupby(bucket)``
-    shuffle (embeddings carried as payload) → within-bucket exact cosine ≥
+    """Embedding-cosine near-duplicate pairs over any (vec_id int64,
+    embedding list<float>) Dataset, fully distributed: hyperplane LSH
+    bucket per vector in ``map_batches`` → ONE ``groupby(bucket)`` shuffle
+    (embeddings carried as payload) → within-bucket exact cosine ≥
     threshold via a tiled matmul. Each vector lives in exactly one bucket, so
     every pair is generated exactly once — no dedup exchange.
 
@@ -209,7 +217,6 @@ def embedding_near_dup_pairs(
     stay ≪ corpus (12 planes → 4096 buckets; skewed corpora need more planes
     or a second-level split — bucket population is the knob, not the driver).
     """
-    ds = _emb(sf_dir)
     dim = len(ds.take(1)[0]["embedding"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
@@ -280,6 +287,131 @@ def embedding_near_dup_pairs(
         out.sort_values(["id_a", "id_b"])
         .reset_index(drop=True)[["id_a", "id_b", "cos_sim_e6"]]
     )
+
+
+_PLANT_OFFSET = 1_000_000_000
+
+
+def _plant_near_dups(t: pa.Table) -> pa.Table:
+    """Deterministic near-dup planting: every vec_id ≡ 0 (mod 10) gains a
+    perturbed copy (id + 10^9, embedding + 0.05·roll(embedding), stored
+    float32 like the source column). Pure function of the input rows — no
+    RNG, batch-layout independent."""
+    V = _stack(t["embedding"])
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    sel = (vid % 10) == 0
+    ids_out = vid.astype(np.int64)
+    emb32 = V.astype(np.float32)
+    if sel.any():
+        planted = (V[sel] + 0.05 * np.roll(V[sel], 1, axis=1)).astype(
+            np.float32
+        )
+        ids_out = np.concatenate([ids_out, vid[sel] + _PLANT_OFFSET])
+        emb32 = np.concatenate([emb32, planted])
+    dim = emb32.shape[1]
+    emb_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(emb32.ravel(), pa.float32()), dim
+    )
+    return pa.table(
+        {"vec_id": pa.array(ids_out, pa.int64()), "embedding": emb_col}
+    )
+
+
+def embedding_near_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    seed: int = 42,
+    plant_near_dups: bool = True,
+) -> pd.DataFrame:
+    """Near-dup pairs over the embeddings table.
+
+    The driver testdata embeddings contain NO near-duplicates (max pairwise
+    cosine ≈ 0.51 at sf0.01 — measured), so with the raw table this query
+    proves nothing at any sane threshold (the round-2 vacuity finding). By
+    default it therefore PLANTS deterministic near-dup copies derived from
+    the input (``_plant_near_dups``) so the operator's full path — bucket
+    assignment, payload shuffle, tiled verification — runs against a
+    non-empty, pytest-pinned result. ``plant_near_dups=False`` runs the raw
+    table."""
+    ds = _emb(sf_dir)
+    if plant_near_dups:
+        ds = ds.map_batches(_plant_near_dups, batch_format="pyarrow")
+    return near_dup_pairs_dataset(ds, threshold, n_planes, seed)
+
+
+def text_embed_near_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.95,
+    dim: int = 128,
+    k: int = 3,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Documents → hashed-ngram caption embeddings → near-dup pairs: the
+    dense-matcher path of the reference (``Run_Sembedding.py:18`` — learned
+    sentence embeddings + cosine) re-expressed with the public feature-
+    hashing embedder (``hashing.hashed_ngram_embed``). The embed stage is a
+    task-pool ``map_batches`` fused with the read; downstream is the shared
+    one-shuffle near-dup machinery."""
+    from ..functions.hashing import hashed_ngram_embed
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def embed_batch(t: pa.Table) -> pa.Table:
+        E = hashed_ngram_embed(t["text"].to_pylist(), dim, k, seed)
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["doc_id"], pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(E.ravel(), pa.float64()), dim
+                ),
+            }
+        )
+
+    ds = docs.map_batches(embed_batch, batch_format="pyarrow")
+    return near_dup_pairs_dataset(ds, threshold, n_planes, seed)
+
+
+def caption_embed_near_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.98,
+    dim: int = 128,
+    k: int = 3,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """The dense matcher over the image+caption CORPUS (the reference's
+    actual input shape): captions embed via feature hashing, then the shared
+    near-dup machinery. Exact/re-encode duplicate captions are byte-equal →
+    cosine 1.0 and always co-bucketed, so golden exact-pairs are a
+    guaranteed subset (the pytest pins this).
+
+    vec_id is the corpus row index (``int(image_id[:8])`` — image ids are
+    ``{i:08d}-uuid5``)."""
+    from ..functions.hashing import hashed_ngram_embed
+    from ..sources.io import read_corpus
+    from .corpus_dedup import corpus_for_sf
+
+    corpus_dir, _ = corpus_for_sf(sf_dir)
+    corpus = read_corpus(corpus_dir, ["image_id", "caption"])
+
+    def embed_batch(t: pa.Table) -> pa.Table:
+        ids = [int(s[:8]) for s in t["image_id"].to_pylist()]
+        E = hashed_ngram_embed(t["caption"].to_pylist(), dim, k, seed)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(E.ravel(), pa.float64()), dim
+                ),
+            }
+        )
+
+    ds = corpus.map_batches(embed_batch, batch_format="pyarrow")
+    return near_dup_pairs_dataset(ds, threshold, n_planes, seed)
 
 
 def _kmeans_lite(

@@ -146,21 +146,11 @@ def test_ann_lsh_subset_of_brute_force_candidates(ray_session):
         assert (merged["cos_sim_e6_l"] == merged["cos_sim_e6_b"]).all()
 
 
-def test_embedding_near_dup_pairs_threshold(ray_session):
-    from entity_deduplication_hack_main_ray.pipelines.ann import (
-        embedding_near_dup_pairs,
-    )
-
-    out = embedding_near_dup_pairs(SF, threshold=0.9)
-    assert (out["cos_sim_e6"] >= 900000).all() if len(out) else True
-    # distributed result == single-process numpy reference (same planes/seed)
-    import pyarrow.parquet as pq
-
-    rows = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
-    V = np.vstack([np.asarray(v, dtype=np.float64) for v in rows["embedding"]])
-    ids = rows["vec_id"].to_numpy()
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((V.shape[1], 12))
+def _near_dup_reference(ids, V, threshold, n_planes=12, seed=42):
+    """Single-process numpy replica of near_dup_pairs_dataset (same planes,
+    same bucket packing, same e6 rounding)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((V.shape[1], n_planes))
     sig = (V @ planes > 0).astype(np.uint8)
     packed = np.packbits(
         np.pad(sig, ((0, 0), (0, (-sig.shape[1]) % 8))), axis=1,
@@ -168,6 +158,7 @@ def test_embedding_near_dup_pairs_threshold(ray_session):
     )
     bucket = packed[:, :2].astype(np.int64) @ np.array([1, 256])
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    thr_e6 = int(np.floor(threshold * 1e6 + 0.5))
     expected = set()
     for b in np.unique(bucket):
         idx = np.nonzero(bucket == b)[0]
@@ -175,12 +166,123 @@ def test_embedding_near_dup_pairs_threshold(ray_session):
             continue
         sims = Vn[idx] @ Vn[idx].T
         e6 = np.floor(sims * 1e6 + 0.5).astype(np.int64)
-        ii, jj = np.nonzero(np.triu(e6 >= 900000, 1))
+        ii, jj = np.nonzero(np.triu(e6 >= thr_e6, 1))
         for i, j in zip(ii, jj):
             a, c = sorted((int(ids[idx[i]]), int(ids[idx[j]])))
             expected.add((a, c, int(e6[i, j])))
+    return expected
+
+
+def _raw_embeddings():
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    V = np.vstack([np.asarray(v, dtype=np.float64) for v in rows["embedding"]])
+    return rows["vec_id"].to_numpy(), V
+
+
+def test_embedding_near_dup_pairs_threshold(ray_session):
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        embedding_near_dup_pairs,
+    )
+
+    out = embedding_near_dup_pairs(SF, threshold=0.9, plant_near_dups=False)
+    assert (out["cos_sim_e6"] >= 900000).all() if len(out) else True
+    ids, V = _raw_embeddings()
+    expected = _near_dup_reference(ids, V, 0.9)
     got = set(zip(out["id_a"], out["id_b"], out["cos_sim_e6"]))
     assert got == expected
+
+
+def test_embedding_near_dup_pairs_planted_default_non_vacuous(ray_session):
+    """The driver default must return rows (the testdata embeddings alone
+    have max cosine ≈ 0.5 — round-2's 0-row vacuity) and match the numpy
+    replica of the planting rule exactly."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        _PLANT_OFFSET,
+        embedding_near_dup_pairs,
+    )
+
+    out = embedding_near_dup_pairs(SF)
+    assert len(out) > 0
+    ids, V = _raw_embeddings()
+    sel = (ids % 10) == 0
+    planted = (V[sel] + 0.05 * np.roll(V[sel], 1, axis=1)).astype(np.float32)
+    all_ids = np.concatenate([ids, ids[sel] + _PLANT_OFFSET])
+    # storage roundtrip: originals are float32 on disk already; planted cast
+    all_V = np.concatenate([V, planted.astype(np.float64)])
+    expected = _near_dup_reference(all_ids, all_V, 0.98)
+    got = set(zip(out["id_a"], out["id_b"], out["cos_sim_e6"]))
+    assert got == expected
+
+
+def test_text_embed_near_dup_pairs_matches_reference(ray_session):
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.functions.hashing import (
+        hashed_ngram_embed,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        text_embed_near_dup_pairs,
+    )
+
+    out = text_embed_near_dup_pairs(SF)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        f"ORDER BY doc_id"
+    ).fetchdf()
+    E = hashed_ngram_embed(rows["text"].tolist(), 128, 3, 42)
+    expected = _near_dup_reference(rows["doc_id"].to_numpy(), E, 0.95)
+    got = set(zip(out["id_a"], out["id_b"], out["cos_sim_e6"]))
+    assert got == expected
+
+
+def test_caption_embed_near_dup_pairs_finds_golden_exacts(ray_session):
+    """Byte-equal duplicate captions (exact/reencode golden variations) →
+    cosine 1.0 and guaranteed co-bucketing: those golden pairs MUST appear
+    with cos_sim_e6 == 1000000; the full result must equal the numpy
+    replica."""
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.functions.hashing import (
+        hashed_ngram_embed,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        caption_embed_near_dup_pairs,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        corpus_for_sf,
+    )
+
+    out = caption_embed_near_dup_pairs(SF)
+    corpus_dir, golden_path = corpus_for_sf(SF)
+    rows = duckdb.sql(
+        f"SELECT image_id, caption FROM read_parquet('{corpus_dir}/*.parquet') "
+        f"ORDER BY image_id"
+    ).fetchdf()
+    ids = np.array([int(s[:8]) for s in rows["image_id"]])
+    E = hashed_ngram_embed(rows["caption"].tolist(), 128, 3, 42)
+    expected = _near_dup_reference(ids, E, 0.98)
+    got = set(zip(out["id_a"], out["id_b"], out["cos_sim_e6"]))
+    assert got == expected and len(got) > 0
+
+    g = duckdb.sql(
+        f"SELECT original_id, duplicate_id, variation_type "
+        f"FROM read_parquet('{golden_path}')"
+    ).fetchdf()
+    pair_set = set(zip(out["id_a"], out["id_b"]))
+    checked = 0
+    cap = dict(zip(rows["image_id"], rows["caption"]))
+    for o, d, var in zip(
+        g["original_id"], g["duplicate_id"], g["variation_type"]
+    ):
+        if var in ("exact", "reencode") and cap[o] == cap[d]:
+            a, b = sorted((int(o[:8]), int(d[:8])))
+            assert (a, b) in pair_set
+            row = out[(out["id_a"] == a) & (out["id_b"] == b)]
+            assert (row["cos_sim_e6"] == 1_000_000).all()
+            checked += 1
+    assert checked > 0
 
 
 def test_ivf_topk_degenerates_to_brute_force(ray_session):
