@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_edges": corpus_dedup.image_dedup_edges,
         "match_topk": corpus_dedup.match_topk,
         "eval_by_variation": corpus_dedup.eval_by_variation,
+        "eval_by_type": corpus_dedup.eval_by_type,
         "golden_eval": corpus_dedup.golden_eval,
         "psnr_spot_check": corpus_dedup.psnr_spot_check_edges,
     }

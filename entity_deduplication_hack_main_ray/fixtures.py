@@ -75,8 +75,17 @@ GOLDEN_SCHEMA = pa.schema(
         ("duplicate_id", pa.string()),
         ("variation_type", pa.string()),
         ("field_name", pa.string()),
+        ("entity_type", pa.string()),  # base record's Type field — enables
+        # the reference's per-entity-type P/R breakdown
+        # (EvaluateVariations.ipynb cell 5)
     ]
 )
+
+# Entity types mirror the reference corpus's mix of record kinds; a dup pair
+# always shares its base record's type (variations never touch the Type
+# field), so typed records don't change matcher semantics — they enable the
+# (variation × type) eval grid.
+_TYPES = ["Person", "Provider", "Organization"]
 
 
 def _image_id(seed: int, i: int) -> str:
@@ -118,7 +127,7 @@ def _make_record(rng: np.random.Generator) -> dict[str, str]:
     last = _LAST[rng.integers(len(_LAST))]
     y, m, d = rng.integers(1950, 2005), rng.integers(1, 13), rng.integers(1, 29)
     return {
-        "type": "Person",
+        "type": _TYPES[int(rng.integers(len(_TYPES)))],
         "name": f"{first} {last}",
         "job": _JOB[rng.integers(len(_JOB))],
         "email": f"{first}.{last}@example.org".replace(" ", ""),
@@ -185,7 +194,7 @@ def generate_corpus(
     rng = np.random.default_rng(seed)
     dct = dct_matrix(32)
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
-    golden_rows: list[tuple[str, str, str, str]] = []
+    golden_rows: list[tuple[str, str, str, str, str]] = []
     idx = 0
 
     def _emit(rec: dict[str, str], pixels: np.ndarray, fmt: str, quality: int) -> str:
@@ -238,7 +247,7 @@ def generate_corpus(
                     c = size // 8
                     dpix = pixels[c : size - c, c : size - c]
                 did = _emit(drec, dpix, dfmt, dq)
-                golden_rows.append((oid, did, var, field))
+                golden_rows.append((oid, did, var, field, rec["type"]))
 
     corpus = pa.table(
         {
@@ -258,6 +267,7 @@ def generate_corpus(
             "duplicate_id": pa.array([r[1] for r in golden_rows], pa.string()),
             "variation_type": pa.array([r[2] for r in golden_rows], pa.string()),
             "field_name": pa.array([r[3] for r in golden_rows], pa.string()),
+            "entity_type": pa.array([r[4] for r in golden_rows], pa.string()),
         },
         schema=GOLDEN_SCHEMA,
     )
@@ -276,11 +286,16 @@ def write_corpus(
     parallelize."""
     corpus_dir = os.path.join(out_dir, "corpus")
     golden_path = os.path.join(out_dir, "golden.parquet")
-    marker = os.path.join(out_dir, f"_complete_{n_base}_{seed}")
+    # v3: typed entities + entity_type golden column (cache key bump —
+    # corpora written by earlier generator versions regenerate)
+    marker = os.path.join(out_dir, f"_complete_v3_{n_base}_{seed}")
     if os.path.exists(marker):
         return corpus_dir, golden_path
     corpus, golden = generate_corpus(n_base, seed)
     os.makedirs(corpus_dir, exist_ok=True)
+    for f in os.listdir(corpus_dir):  # drop stale parts from older versions
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(corpus_dir, f))
     n = corpus.num_rows
     for p, start in enumerate(range(0, n, rows_per_file)):
         pq.write_table(

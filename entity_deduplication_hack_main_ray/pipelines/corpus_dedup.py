@@ -81,7 +81,8 @@ def match_topk(sf_dir: str) -> pd.DataFrame:
 
 def eval_by_variation(sf_dir: str) -> pd.DataFrame:
     """Reference eval breakdown (`EvaluateVariations.ipynb cells 11-16`,
-    A6/A7): per variation_type, golden pairs found/missed by the engine."""
+    A6/A7): the missed-match GRID — per (variation_type × entity_type),
+    golden pairs found/missed by the engine."""
     from ..oracle import dup_pairs_from_clusters
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -99,12 +100,98 @@ def eval_by_variation(sf_dir: str) -> pd.DataFrame:
     ]
     g["found"] = g["pair"].isin(pred)
     out = (
-        g.groupby("variation_type")
+        g.groupby(["variation_type", "entity_type"])
         .agg(n_golden=("pair", "size"), n_found=("found", "sum"))
         .reset_index()
     )
     out["n_found"] = out["n_found"].astype("int64")
-    return out.sort_values("variation_type").reset_index(drop=True)
+    return out.sort_values(
+        ["variation_type", "entity_type"]
+    ).reset_index(drop=True)
+
+
+def eval_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-entity-type precision/recall (reference
+    ``EvaluateVariations.ipynb cell 5``): recall against the typed golden,
+    precision over PASSING edges attributed to a type by parsing the
+    caption's ``Type`` field.
+
+    Edge captions are fetched with the ``psnr_spot_check`` broadcast
+    semi-join shape (only edge-incident rows leave the corpus read); the
+    per-type aggregation itself is driver-scale (edges ≪ corpus)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions import text as tx
+    from ..oracle import dup_pairs_from_clusters
+    from ..sources.io import read_corpus
+
+    corpus_dir, golden_path = corpus_for_sf(sf_dir)
+    edges, clusters = _run_cached(corpus_dir, PipelineConfig())
+    ctbl = pa.Table.from_pandas(
+        clusters[["image_id", "cluster_id", "cluster_size"]]
+    )
+    pred = dup_pairs_from_clusters(ctbl)
+    g = pq.read_table(golden_path).to_pandas()
+    g["pair"] = [
+        tuple(sorted((o, d)))
+        for o, d in zip(g["original_id"], g["duplicate_id"])
+    ]
+    gold_by_type = {
+        t: set(sub["pair"]) for t, sub in g.groupby("entity_type")
+    }
+
+    passing = edges[edges["pass"]]
+    ids = sorted(set(passing["id_a"]) | set(passing["id_b"]))
+    id_ref = ray.put(pa.array(ids, pa.string()))
+
+    def semi_join(t: pa.Table) -> pa.Table:
+        probe = ray.get(id_ref)
+        return t.filter(pc.is_in(t["image_id"], value_set=probe))
+
+    caps = (
+        read_corpus(corpus_dir, ["image_id", "caption"])
+        .map_batches(semi_join, batch_format="pyarrow")
+        .to_pandas()
+    )
+    type_of = {
+        iid: tx.parse_fields(tx.normalize_caption(c)).get("type", "unknown")
+        for iid, c in zip(caps["image_id"], caps["caption"])
+    }
+
+    rows = []
+    for etype in sorted(gold_by_type):
+        gold = gold_by_type[etype]
+        tp = len(pred & gold)
+        pe = passing[[type_of.get(a) == etype.lower()
+                      for a in passing["id_a"]]]
+        pred_edges = {tuple(sorted((a, b)))
+                      for a, b in zip(pe["id_a"], pe["id_b"])}
+        tp_edges = len(pred_edges & gold)
+        # same FP-exclusion rule as golden_eval: exact-tier non-golden
+        # predicted pairs are not precision errors (reference quirk)
+        exact_edges = {
+            tuple(sorted((a, b)))
+            for a, b, t in zip(pe["id_a"], pe["id_b"], pe["tier"])
+            if t == "exact"
+        }
+        fp = len((pred_edges - gold) - exact_edges)
+        rows.append(
+            {
+                "entity_type": etype,
+                "n_golden": len(gold),
+                "true_positives": tp,
+                "recall_bp": int(round(10000 * tp / max(1, len(gold)))),
+                "n_pred_edges": len(pred_edges),
+                "tp_edges": tp_edges,
+                "precision_bp": int(
+                    round(10000 * tp_edges / max(1, tp_edges + fp))
+                ),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("entity_type").reset_index(drop=True)
 
 
 def golden_eval(sf_dir: str) -> pd.DataFrame:

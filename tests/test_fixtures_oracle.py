@@ -96,3 +96,39 @@ def test_oracle_deterministic():
     e1, c1 = oracle_match(corpus, cfg)
     e2, c2 = oracle_match(corpus, cfg)
     assert e1.equals(e2) and c1.equals(c2)
+
+
+def test_golden_carries_entity_types():
+    _, golden = generate_corpus(80, seed=42)
+    types = set(golden["entity_type"].to_pylist())
+    assert types <= {"Person", "Provider", "Organization"} and len(types) > 1
+
+
+def test_eval_by_type_consistency(ray_session):
+    """Per-type rows must sum to the overall golden_eval figures, and every
+    type must clear the recall bar on the small corpus."""
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        eval_by_type,
+        golden_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    by_type = eval_by_type(sf)
+    overall = golden_eval(sf)
+    assert by_type["n_golden"].sum() == overall["n_golden"].iloc[0]
+    assert by_type["true_positives"].sum() == overall["true_positives"].iloc[0]
+    assert (by_type["recall_bp"] >= 9900).all()
+    assert len(by_type) > 1
+
+
+def test_eval_by_variation_typed_grid(ray_session):
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        eval_by_variation,
+    )
+
+    out = eval_by_variation("/root/testdata/sf0.001")
+    assert set(out.columns) == {
+        "variation_type", "entity_type", "n_golden", "n_found"
+    }
+    assert out["entity_type"].nunique() > 1
+    assert (out["n_found"] <= out["n_golden"]).all()

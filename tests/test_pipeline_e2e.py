@@ -158,10 +158,10 @@ def test_golden_eval_precision_columns(ray_session):
     # 3+-member cluster count as FP — the same characteristic the reference
     # eval has, which is why it carries the FP-exclusion quirk at all.
     assert row["recall_bp"] == 10000
-    assert row["tp_edges"] == 189
-    assert row["fp_excluded"] == 8
-    assert row["precision_bp"] == 6097
-    assert row["f1_bp"] == 7575
+    assert row["tp_edges"] == 200
+    assert row["fp_excluded"] == 17
+    assert row["precision_bp"] == 6452
+    assert row["f1_bp"] == 7843
 
 
 def test_psnr_spot_check_edges_join(ray_session, tiny_corpus, cfg):

@@ -20,6 +20,7 @@ def test_read_golden(ray_session, tiny_corpus):
     ds = read_golden(golden_path)
     assert set(ds.schema().names) == {
         "original_id", "duplicate_id", "variation_type", "field_name",
+        "entity_type",
     }
     assert ds.count() == pq.read_metadata(golden_path).num_rows
 
