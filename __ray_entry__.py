@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_by_variation": corpus_dedup.eval_by_variation,
         "eval_by_type": corpus_dedup.eval_by_type,
         "golden_eval": corpus_dedup.golden_eval,
+        "alpha_sweep": corpus_dedup.alpha_sweep,
         "psnr_spot_check": corpus_dedup.psnr_spot_check_edges,
     }
 

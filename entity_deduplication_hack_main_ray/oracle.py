@@ -225,6 +225,55 @@ def verify_pair(
     return score, avg, n_common, tier, passed
 
 
+def verify_components(
+    cap_a: str,
+    cap_b: str,
+    ph_a: int,
+    ph_b: int,
+    cfg: PipelineConfig,
+    fa: dict[str, str] | None = None,
+    fb: dict[str, str] | None = None,
+) -> tuple[float, float, int, bool, bool] | None:
+    """α-INDEPENDENT verification components for the sweep harness
+    (reference drivers grid α 0.0–0.95, ``Run_TransE.py:36-49``): returns
+    (avg_field_sim, img_sim, n_common, is_substring, is_exactish) or None.
+
+    The None-prefilter is the same decision-lossless bound as
+    ``verify_pair`` and is itself α-independent (the binding pass gate
+    ``avg ≥ adaptive_threshold`` does not involve α), so the non-None set
+    is a superset of the pairs that can pass at ANY α — sweeping over it
+    loses nothing. ``is_exactish`` marks the exact tier (byte-equal caption
+    + pHash, or all-fields-exact + hamming 0) used by the FP-exclusion
+    rule."""
+    ham = ((ph_a ^ ph_b) & 0xFFFFFFFFFFFFFFFF).bit_count()
+    img_sim = 1.0 - ham / 64.0
+    if cap_a == cap_b and ham == 0:
+        return 1.0, 1.0, 0, False, True
+    if fa is None:
+        fa = tx.parse_fields(cap_a)
+    if fb is None:
+        fb = tx.parse_fields(cap_b)
+    if cap_a != cap_b:
+        avg_ub, n_common_ub = tx.field_similarity_bound(
+            fa, fb, cfg.acronym_boost
+        )
+        thr_ub = tx.adaptive_threshold(
+            n_common_ub, cfg.adaptive_thresholds, cfg.adaptive_default
+        )
+        if (
+            avg_ub < thr_ub
+            and not (cfg.filter_literals and n_common_ub < 3)
+            and not (img_sim >= 0.875 and tx.substring_contained(cap_a, cap_b))
+        ):
+            return None
+    avg, n_common, all_exact = tx.field_similarity(fa, fb, cfg.acronym_boost)
+    if cap_a == cap_b:
+        avg, all_exact = 1.0, True
+    is_sub = cap_a != cap_b and tx.substring_contained(cap_a, cap_b)
+    exactish = bool(all_exact and n_common > 0 and ham == 0)
+    return avg, img_sim, n_common, is_sub, exactish
+
+
 def oracle_match(
     corpus: pa.Table, cfg: PipelineConfig
 ) -> tuple[pa.Table, pa.Table]:

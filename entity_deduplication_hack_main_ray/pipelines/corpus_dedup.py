@@ -263,6 +263,88 @@ def golden_eval(sf_dir: str) -> pd.DataFrame:
     )
 
 
+_SWEEP_CACHE: dict[tuple[str, str], pd.DataFrame] = {}
+
+DEFAULT_ALPHAS = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+
+
+def alpha_sweep(
+    sf_dir: str, alphas: tuple[float, ...] = DEFAULT_ALPHAS
+) -> pd.DataFrame:
+    """α-sweep harness (reference drivers grid α 0.0–0.95,
+    ``Run_TransE.py:36-49``; the eval notebooks grid it): ONE engine run in
+    sweep mode emits every candidate pair's α-independent components
+    (avg_field_sim, img_sim, n_common, substring/exact flags), then the
+    whole grid evaluates vectorized on the driver against the golden —
+    edge-level precision/recall/F1 per α, with the reference FP-exclusion
+    rule (exact-tier non-golden pairs are not precision errors).
+
+    One pipeline execution for the entire grid instead of |alphas| runs:
+    the pass rule's α enters only through ``score = α·text + (1-α)·image``,
+    and the kept-pair superset is α-independent (see
+    ``oracle.verify_components``)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..sources.io import read_corpus
+    from .dedup import compute_edges, compute_signatures
+
+    cfg = PipelineConfig()
+    corpus_dir, golden_path = corpus_for_sf(sf_dir)
+    key = (corpus_dir, cfg.config_hash())
+    comps = _SWEEP_CACHE.get(key)
+    if comps is None:
+        sigs = compute_signatures(
+            read_corpus(corpus_dir, ["image_id", "caption", "phash"]), cfg
+        )
+        comps = compute_edges(sigs, cfg, sweep=True).to_pandas()
+        _SWEEP_CACHE[key] = comps
+
+    g = pq.read_table(golden_path)
+    gold = {
+        tuple(sorted((o, d)))
+        for o, d in zip(
+            g["original_id"].to_pylist(), g["duplicate_id"].to_pylist()
+        )
+    }
+    avg = comps["avg_field_sim"].to_numpy()
+    img = comps["img_sim"].to_numpy()
+    thr = (
+        comps["n_common"]
+        .map(cfg.adaptive_thresholds)
+        .fillna(cfg.adaptive_default)
+        .to_numpy()
+    )
+    is_sub = comps["is_substring"].to_numpy()
+    exactish = comps["is_exactish"].to_numpy()
+    pairs = list(zip(comps["id_a"], comps["id_b"]))
+
+    rows = []
+    for a in alphas:
+        score = a * avg + (1 - a) * img
+        passed = ((avg >= thr) & (score >= cfg.threshold)) | (
+            is_sub & (img >= 0.875)
+        )
+        pred = {p for p, m in zip(pairs, passed) if m}
+        exact_pred = {p for p, m, e in zip(pairs, passed, exactish) if m and e}
+        tp = len(pred & gold)
+        fp = len((pred - gold) - exact_pred)
+        prec = tp / max(1, tp + fp)
+        rec = tp / max(1, len(gold))
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        rows.append(
+            {
+                "alpha_bp": int(round(a * 10000)),
+                "n_pred_edges": len(pred),
+                "tp_edges": tp,
+                "precision_bp": int(round(10000 * prec)),
+                "recall_bp": int(round(10000 * rec)),
+                "f1_bp": int(round(10000 * f1)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def psnr_spot_check_edges(sf_dir: str) -> pd.DataFrame:
     """B3 semi-join fidelity query: decode ONLY images on verified edges,
     recompute pHash and PSNR (edges ⋈ corpus via broadcast is_in probe —

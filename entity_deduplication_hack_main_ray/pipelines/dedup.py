@@ -87,10 +87,13 @@ def compute_edges(
     signatures: ray.data.Dataset,
     cfg: PipelineConfig,
     num_partitions: int = 64,
+    sweep: bool = False,
 ) -> ray.data.Dataset:
     """Candidate explode → ONE partitioned shuffle → owned unique pairs →
     task-pool verify. No pair-dedup exchange (ownership guarantees global
-    pair uniqueness)."""
+    pair uniqueness). ``sweep=True`` swaps the verify kernel for the
+    α-independent components emitter (``verify_components_batch``) — one
+    run then serves the whole α grid."""
     # Ray's sort-based groupby derives its reduce fan-out from the upstream
     # block count; explode would emit few fat blocks on small corpora, which
     # would serialize the shuffle. Instead of paying a separate repartition
@@ -123,6 +126,14 @@ def compute_edges(
     pairs = candidates.groupby("pkey").map_groups(
         lambda g: emit_pairs(g, cfg), batch_format="pyarrow"
     )
+    if sweep:
+        from ..stages.verify import verify_components_batch
+
+        return pairs.map_batches(
+            lambda t: verify_components_batch(t, cfg),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
     return pairs.map_batches(
         lambda t: verify_batch(t, cfg),
         batch_format="pyarrow",

@@ -63,6 +63,67 @@ def read_golden(path: str) -> ray.data.Dataset:
     return ray.data.read_parquet(path)
 
 
+def write_matches_json(
+    edges: ray.data.Dataset, corpus_path: str, out_dir: str
+) -> None:
+    """Human-inspection match sink (S3's promised ``write_json``; reference
+    ``output_utils.py:5-77`` emits enriched per-match JSON carrying both
+    entities' predicates): each edge row is enriched with both captions and
+    their parsed field maps, then written as JSON lines.
+
+    Scale shape: the edge-id set (small — verified pairs only) broadcasts
+    once; the corpus read is pruned to (image_id, caption) and semi-joined
+    with the Arrow ``is_in`` probe, so only edge-incident captions move; the
+    caption map broadcasts back for the enrich ``map_batches``; the write
+    streams (a directory of JSON part files, resumable like the Parquet
+    sinks)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions import text as tx
+
+    ids: set[str] = set()
+    for b in edges.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        ids.update(b["id_a"].to_pylist())
+        ids.update(b["id_b"].to_pylist())
+    probe_ref = ray.put(pa.array(sorted(ids), pa.string()))
+
+    def semi_join(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["image_id"], value_set=ray.get(probe_ref))
+        )
+
+    caps = (
+        read_corpus(corpus_path, ["image_id", "caption"])
+        .map_batches(semi_join, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cmap_ref = ray.put(dict(zip(caps["image_id"], caps["caption"])))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        cols = {name: t[name] for name in t.schema.names}
+        cap_a, cap_b, f_a, f_b = [], [], [], []
+        for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+            ca, cb = cmap.get(a, ""), cmap.get(b, "")
+            cap_a.append(ca)
+            cap_b.append(cb)
+            f_a.append(json.dumps(tx.parse_fields(tx.normalize_caption(ca))))
+            f_b.append(json.dumps(tx.parse_fields(tx.normalize_caption(cb))))
+        cols["caption_a"] = pa.array(cap_a, pa.string())
+        cols["caption_b"] = pa.array(cap_b, pa.string())
+        cols["fields_a"] = pa.array(f_a, pa.string())
+        cols["fields_b"] = pa.array(f_b, pa.string())
+        return pa.table(cols)
+
+    edges.map_batches(enrich, batch_format="pyarrow").write_json(out_dir)
+
+
 def write_partitioned(
     ds: ray.data.Dataset, out_dir: str, min_rows_per_file: int = 100_000
 ) -> None:

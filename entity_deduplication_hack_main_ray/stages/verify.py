@@ -35,7 +35,12 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..functions import text as tx
-from ..oracle import candidate_pairs_from_buckets, verify_pair, _KEY_PAD
+from ..oracle import (
+    _KEY_PAD,
+    candidate_pairs_from_buckets,
+    verify_components,
+    verify_pair,
+)
 
 PAIR_SCHEMA = pa.schema(
     [
@@ -58,6 +63,50 @@ EDGE_SCHEMA = pa.schema(
         ("pass", pa.bool_()),
     ]
 )
+
+# α-independent per-pair components (the sweep harness's working set)
+SWEEP_SCHEMA = pa.schema(
+    [
+        ("id_a", pa.string()),
+        ("id_b", pa.string()),
+        ("avg_field_sim", pa.float64()),
+        ("img_sim", pa.float64()),
+        ("n_common", pa.int32()),
+        ("is_substring", pa.bool_()),
+        ("is_exactish", pa.bool_()),
+    ]
+)
+
+
+def verify_components_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Sweep-mode verify: emit every candidate pair's α-independent
+    components (``oracle.verify_components``) instead of a pass decision —
+    one pipeline run then serves every α of the sweep grid."""
+    if batch.num_rows == 0:
+        return SWEEP_SCHEMA.empty_table()
+    id_a = batch["id_a"].to_pylist()
+    id_b = batch["id_b"].to_pylist()
+    cap_a = batch["cap_a"].to_pylist()
+    cap_b = batch["cap_b"].to_pylist()
+    ph_a = batch["ph_a"].to_pylist()
+    ph_b = batch["ph_b"].to_pylist()
+    rows = {k: [] for k in SWEEP_SCHEMA.names}
+    for i in range(batch.num_rows):
+        res = verify_components(
+            cap_a[i], cap_b[i], ph_a[i], ph_b[i], cfg,
+            _fields_cached(cap_a[i]), _fields_cached(cap_b[i]),
+        )
+        if res is None:
+            continue
+        avg, img, nc, is_sub, exactish = res
+        rows["id_a"].append(id_a[i])
+        rows["id_b"].append(id_b[i])
+        rows["avg_field_sim"].append(avg)
+        rows["img_sim"].append(img)
+        rows["n_common"].append(nc)
+        rows["is_substring"].append(is_sub)
+        rows["is_exactish"].append(exactish)
+    return pa.table(rows, schema=SWEEP_SCHEMA)
 
 
 def _key_matrix(group: pa.Table) -> np.ndarray:

@@ -207,3 +207,59 @@ def test_distributed_clustering_raises_on_nonconvergence(ray_session):
     # and with enough rounds the same graph converges to one component
     labels = cluster_edges_distributed(edges, max_rounds=10).to_pandas()
     assert set(labels["label"]) == {"a"}
+
+
+def test_alpha_sweep_consistent_with_pipeline(ray_session):
+    """One sweep run must reproduce the real pipeline's passing-edge count
+    at alpha = cfg.alpha, and behave sanely across the grid."""
+    from entity_deduplication_hack_main_ray.config import PipelineConfig
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        _run_cached,
+        alpha_sweep,
+        corpus_for_sf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sweep = alpha_sweep(sf)
+    cfg = PipelineConfig()
+    row = sweep[sweep["alpha_bp"] == int(cfg.alpha * 10000)].iloc[0]
+    corpus_dir, _ = corpus_for_sf(sf)
+    edges, _ = _run_cached(corpus_dir, cfg)
+    n_passing = int(edges["pass"].sum())
+    assert row["n_pred_edges"] == n_passing
+    assert len(sweep) == 11
+    assert ((sweep["precision_bp"] >= 0) & (sweep["precision_bp"] <= 10000)).all()
+    assert ((sweep["recall_bp"] >= 0) & (sweep["recall_bp"] <= 10000)).all()
+
+
+def test_write_matches_json(ray_session, tmp_path):
+    """The S3 human-inspection sink: JSON lines carrying both captions and
+    parsed field maps for every edge."""
+    import json
+    import os
+
+    import ray.data
+
+    from entity_deduplication_hack_main_ray.config import PipelineConfig
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        _run_cached,
+        corpus_for_sf,
+    )
+    from entity_deduplication_hack_main_ray.sources.io import write_matches_json
+
+    corpus_dir, _ = corpus_for_sf("/root/testdata/sf0.001")
+    edges_df, _ = _run_cached(corpus_dir, PipelineConfig())
+    edges = ray.data.from_pandas(edges_df.head(50))
+    out = str(tmp_path / "matches_json")
+    write_matches_json(edges, corpus_dir, out)
+    rows = []
+    for f in os.listdir(out):
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh if line.strip()]
+    assert len(rows) == 50
+    r = rows[0]
+    for k in ("id_a", "id_b", "score", "tier", "pass",
+              "caption_a", "caption_b", "fields_a", "fields_b"):
+        assert k in r
+    fa = json.loads(r["fields_a"])
+    assert isinstance(fa, dict) and len(fa) > 0
