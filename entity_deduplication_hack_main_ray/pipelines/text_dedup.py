@@ -43,30 +43,45 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
 
     The shuffle key is a 64-bit CONTENT HASH of the text (the 100 TB path —
     a groupby on the raw text column would sort multi-KB strings through
-    the exchange); hash collisions are handled inside the group kernel by
-    deduplicating per distinct text, so the result is byte-identical to
-    grouping by the text itself (the SQL oracle stays green).
+    the exchange). Plan shape: per-batch PARTIAL dedup (each batch keeps one
+    min-doc_id row per distinct text — vectorized sort + drop_duplicates),
+    ONE exchange on ``hash % P`` coarse partitions, then the same vectorized
+    kernel per partition — O(P) group-function calls, not one Python call
+    per distinct text (the round-2 ``groupby(fp)`` shape). Same-text rows
+    co-locate because the partition key is a pure function of the text;
+    hash collisions are harmless (dedup is per TEXT inside the kernel), so
+    the result is byte-identical to grouping by the text itself.
     """
     from ..functions import text as tx
 
-    def add_fp(t: pa.Table) -> pa.Table:
-        fp = tx.fingerprint64_batch(t["text"].to_pylist())
-        return t.append_column("fp", pa.array(fp, pa.int64()))
+    P = 64
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        # one fp group may hold several distinct texts (collisions): keep
-        # the min doc_id per TEXT, not per hash
-        return (
-            g.sort_values("doc_id")
+    def partial(t: pa.Table) -> pa.Table:
+        fp = tx.fingerprint64_batch(t["text"].to_pylist())
+        g = (
+            t.append_column("fp", pa.array(fp, pa.int64()))
+            .to_pandas()
+            .sort_values("doc_id", kind="stable")
             .drop_duplicates("text")
-            .drop(columns=["fp"])
+        )
+        g["pkey"] = (g["fp"].to_numpy().view(np.uint64) % np.uint64(P)).astype(
+            np.int64
+        )
+        return pa.Table.from_pandas(
+            g[["pkey", "doc_id", "text"]], preserve_index=False
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("doc_id", kind="stable")
+            .drop_duplicates("text")[["doc_id", "text"]]
         )
 
     out = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(keep_min, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]

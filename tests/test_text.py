@@ -87,3 +87,43 @@ def test_fingerprint_stable_and_edit_tolerant():
     f1 = tx.fingerprint64("the quick brown fox jumps over the lazy dog")
     f2 = tx.fingerprint64("the quick brown fox jumps over the lazy dog")
     assert f1 == f2
+
+
+def test_lang_distribution_pipeline_matches_scalar_kernel(ray_session):
+    """Pipeline-level value check: the distributed pre-aggregated counts
+    must equal a driver-side application of the same scalar kernel."""
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.pipelines.text_analysis import (
+        lang_distribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = lang_distribution(sf)
+    rows = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    expected = {}
+    for (t,) in rows:
+        lang = tx.lang_id(t)
+        expected[lang] = expected.get(lang, 0) + 1
+    got = dict(zip(out["lang_guess"], out["n_docs"]))
+    assert got == expected
+
+
+def test_doc_fingerprints_pipeline_matches_scalar_kernel(ray_session):
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.pipelines.text_analysis import (
+        doc_fingerprints,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = doc_fingerprints(sf)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        f"ORDER BY doc_id"
+    ).fetchdf()
+    expected = [tx.fingerprint64(t) for t in rows["text"]]
+    assert out["doc_id"].tolist() == rows["doc_id"].tolist()
+    assert out["fingerprint"].tolist() == expected
