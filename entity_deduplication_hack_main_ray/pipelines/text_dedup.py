@@ -618,8 +618,6 @@ def simhash_near_pairs(
                 "id_b": pd.Series(dtype="int64"),
             }
         )
-    return (
-        out.drop_duplicates()
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
-    )
+    # ownership guarantees global pair uniqueness — no driver dedup net
+    # (a duplicate here would be an ownership bug and should surface)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
