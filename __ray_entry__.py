@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_part_stats": relational.brand_part_stats,
         "supplier_part_revenue": relational.supplier_part_revenue,
         "supplier_nation_stats": relational.supplier_nation_stats,
+        "event_user_counts": relational.event_user_counts,
+        "order_price_quantiles": relational.order_price_quantiles,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -83,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": text_dedup.exact_dedup,
         "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,
         "simhash_docs": text_dedup.simhash_signatures_table,
+        "simhash_dedup_docs": text_dedup.simhash_dedup,
         "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
         "simhash_near_pairs": text_dedup.simhash_near_pairs,
         # ---- similarity search over embeddings ----------------------------
@@ -92,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
         "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
+        "image_embed_near_dup_pairs": ann.image_embed_near_dup_pairs,
         # ---- the image+caption flagship (input_hint corpus) ---------------
         "image_dedup_clusters": corpus_dedup.image_dedup_clusters,
         "image_dedup_edges": corpus_dedup.image_dedup_edges,
@@ -208,6 +212,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "event_user_counts": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "order_price_quantiles": """
+            WITH c AS (
+              SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc FROM orders
+            ), a AS (
+              SELECT QUANTILE_DISC(pc, 0.25) AS v1, QUANTILE_DISC(pc, 0.5) AS v2,
+                     QUANTILE_DISC(pc, 0.75) AS v3, QUANTILE_DISC(pc, 0.95) AS v4
+              FROM c
+            )
+            SELECT UNNEST([2500, 5000, 7500, 9500]) AS q_bp,
+                   UNNEST([v1, v2, v3, v4]) AS price_cents
+            FROM a
         """,
         "user_sessions": """
             SELECT user_id, COUNT(*) AS n_sessions FROM (

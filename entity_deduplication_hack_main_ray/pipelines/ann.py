@@ -205,6 +205,7 @@ def near_dup_pairs_dataset(
     threshold: float = 0.98,
     n_planes: int = 12,
     seed: int = 42,
+    center: bool = False,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs over any (vec_id int64,
     embedding list<float>) Dataset, fully distributed: hyperplane LSH
@@ -216,8 +217,20 @@ def near_dup_pairs_dataset(
     Returns (id_a, id_b, cos_sim_e6). Partitioning assumption: bucket sizes
     stay ≪ corpus (12 planes → 4096 buckets; skewed corpora need more planes
     or a second-level split — bucket population is the knob, not the driver).
+
+    ``center=True`` subtracts a driver-sample mean before the hyperplane
+    signs (bucket assignment ONLY — the verified cosine stays on the raw
+    vectors): cone-concentrated embedding families (e.g. DCT image
+    embeddings, where every vector shares a dominant low-frequency
+    component) otherwise collapse into a handful of buckets and the
+    within-bucket matmul degenerates toward all-pairs.
     """
     dim = len(ds.take(1)[0]["embedding"])
+    mean_ref = None
+    if center:
+        sample = _stack(ds.limit(2048).to_pandas()["embedding"])
+        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        mean_ref = ray.put(sn.mean(axis=0))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
     ref = ray.put(planes)
@@ -225,6 +238,9 @@ def near_dup_pairs_dataset(
     def add_bucket(t: pa.Table) -> pa.Table:
         planes_ = ray.get(ref)
         V = _stack(t["embedding"])
+        if mean_ref is not None:
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            V = Vn - ray.get(mean_ref)
         sig = (V @ planes_ > 0).astype(np.uint8)
         packed = np.packbits(
             np.pad(sig, ((0, 0), (0, (-sig.shape[1]) % 8))),
@@ -412,6 +428,50 @@ def caption_embed_near_dup_pairs(
 
     ds = corpus.map_batches(embed_batch, batch_format="pyarrow")
     return near_dup_pairs_dataset(ds, threshold, n_planes, seed)
+
+
+def image_embed_near_dup_pairs(
+    sf_dir: str,
+    threshold: float = 0.9999,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Image near-duplicates via the MULTIMODAL embed stage: corpus bytes →
+    ``ImageEmbed`` actor pool (DCT low-frequency embedding, the model-shaped
+    stage) → shared near-dup machinery with CENTERED bucketing.
+
+    The DCT family is cone-concentrated (every synthetic image shares the
+    gradient base, pairwise cosine floor ≈ 0.99 — measured), hence the
+    tight default threshold (golden exact/reencode image pairs sit
+    ≥ 0.999997) and ``center=True`` so buckets spread instead of
+    collapsing. vec_id = corpus row index (``int(image_id[:8])``)."""
+    from .corpus_dedup import corpus_for_sf
+    from .multimodal import ImageEmbed
+    from ..config import PipelineConfig
+    from ..sources.io import read_corpus
+
+    cfg = PipelineConfig()
+    corpus_dir, _ = corpus_for_sf(sf_dir)
+    corpus = read_corpus(corpus_dir, ["image_id", "bytes", "fmt"])
+    embedded = corpus.map_batches(
+        ImageEmbed,
+        batch_format="pyarrow",
+        batch_size=cfg.image_batch_size,
+        concurrency=(1, 8),
+    )
+
+    def to_vec(t: pa.Table) -> pa.Table:
+        t = t.filter(t["ok"])
+        ids = [int(s[:8]) for s in t["image_id"].to_pylist()]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": t["embedding"],
+            }
+        )
+
+    ds = embedded.map_batches(to_vec, batch_format="pyarrow")
+    return near_dup_pairs_dataset(ds, threshold, n_planes, seed, center=True)
 
 
 def _kmeans_lite(

@@ -614,6 +614,148 @@ def events_value_range_join(
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def event_user_counts(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped count-distinct at scale: distinct users + event counts
+    per event_type.
+
+    Plan: per-batch partial counts over (event_type, user_id) — the
+    combiner dedups inside the batch so the exchange moves at most one row
+    per (batch × distinct pair) — ONE groupby on the pair collapses to the
+    global distinct set with exact per-pair event counts, and the second
+    groupby is tiny (distinct pairs ≪ events). No sketch needed: this is
+    the exact path; the approximate path would swap stage one for an HLL
+    register merge with the identical topology."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .reset_index(name="n_partial")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n_partial", alias_name="n_pair"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .groupby("event_type", sort=False)
+            .agg(n_users_partial=("user_id", "size"),
+                 n_events_partial=("n_pair", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        pairs.map_batches(fold, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_users_partial", alias_name="n_users"),
+            Sum("n_events_partial", alias_name="n_events"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def order_price_quantiles(
+    sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+) -> pd.DataFrame:
+    """EXACT distributed quantiles without a global sort — the classic
+    histogram-selection plan for 10^12-row columns:
+
+    pass 1  Min/Max/Count aggregate on the pruned integer-cents column;
+    pass 2  fixed-width bucket histogram, pre-aggregated per batch, ONE
+            tiny groupby (≤ 65536 rows cross the exchange);
+    pass 3  only the buckets containing a requested order statistic are
+            fetched (Arrow is_in filter — a few buckets of rows), sorted
+            driver-side, and indexed at ``ceil(q·n)−1`` — DuckDB's
+            QUANTILE_DISC selection rule, verified empirically, so the
+            oracle hash-matches exactly.
+
+    Three passes over one int64 column instead of one all-to-all sort of
+    the whole table; at 100 TB the exchanges are O(buckets), not O(rows).
+    """
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "price_cents": pa.array(
+                    np.round(t["o_totalprice"].to_numpy() * 100).astype(
+                        np.int64
+                    )
+                )
+            }
+        )
+
+    col = ds.map_batches(cents, batch_format="pyarrow")
+    stats = col.aggregate(
+        Min("price_cents"), Max("price_cents"), Count()
+    )
+    lo, hi = int(stats["min(price_cents)"]), int(stats["max(price_cents)"])
+    n = int(stats["count()"])
+    width = max(1, (hi - lo + 1) // 65536)
+
+    def hist(t: pa.Table) -> pa.Table:
+        b = (t["price_cents"].to_numpy(zero_copy_only=False) - lo) // width
+        keys, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.astype(np.int64)),
+                "n_partial": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    hdf = (
+        col.map_batches(hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    cum = hdf["n"].cumsum().to_numpy()
+    # target ranks per DuckDB QUANTILE_DISC: sorted[ceil(q*n) - 1]
+    ranks = np.array([max(0, int(np.ceil(q * n)) - 1) for q in qs])
+    need_idx = np.searchsorted(cum, ranks + 1, side="left")
+    need_buckets = sorted(set(hdf["bucket"].iloc[need_idx]))
+    bucket_ref = ray.put(np.array(need_buckets, dtype=np.int64))
+
+    def fetch(t: pa.Table) -> pa.Table:
+        v = t["price_cents"].to_numpy(zero_copy_only=False)
+        b = (v - lo) // width
+        mask = np.isin(b, ray.get(bucket_ref))
+        return pa.table({"price_cents": pa.array(v[mask])})
+
+    vals = np.sort(
+        col.map_batches(fetch, batch_format="pyarrow")
+        .to_pandas()["price_cents"]
+        .to_numpy()
+    )
+    # rank of each fetched value's bucket start = cum before that bucket
+    bucket_of = (vals - lo) // width
+    out_rows = []
+    for q, r in zip(qs, ranks):
+        bi = int(np.searchsorted(cum, r + 1, side="left"))
+        bstart = int(cum[bi - 1]) if bi else 0  # global rank of bucket head
+        b = int(hdf["bucket"].iloc[bi])
+        inbucket = vals[bucket_of == b]
+        out_rows.append(
+            {
+                "q_bp": int(round(q * 10000)),
+                "price_cents": int(inbucket[r - bstart]),
+            }
+        )
+    return pd.DataFrame(out_rows)
+
+
 def brand_part_stats(sf_dir: str) -> pd.DataFrame:
     """Grouped stats over the ``part`` table: count + retail-price cents sum
     per brand (A4/A7 over the remaining dimension table)."""

@@ -219,10 +219,20 @@ def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.Data
         cands.groupby("pkey")
         .map_groups(partition_pairs, batch_format="pyarrow")
     )
+    return _cluster_doc_edges(edges, _docs(sf_dir, ["doc_id"]), cfg)
+
+
+def _cluster_doc_edges(
+    edges: ray.data.Dataset, doc_ids: ray.data.Dataset, cfg: PipelineConfig
+) -> pd.DataFrame:
+    """Shared int-doc clustering tail: padded-string edge Dataset →
+    ``cluster_assignments`` (vectorized driver / distributed Hash-Min) →
+    assignment applied as a broadcast (dict path) or via the flagship's
+    two-exchange distributed apply. Returns (doc_id, cluster_id) int64 for
+    every doc (singletons cluster with themselves)."""
     from ..stages.cluster import cluster_assignments
 
     assign = cluster_assignments(edges, cfg)
-    doc_ids = _docs(sf_dir, ["doc_id"])
     if isinstance(assign, dict):
         amap_int = {int(k): int(v) for k, v in assign.items()}
         import ray
@@ -527,18 +537,17 @@ def ngram_jaccard_pairs(
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def simhash_near_pairs(
-    sf_dir: str, max_hamming: int = 3, cfg: PipelineConfig | None = None
-) -> pd.DataFrame:
-    """SimHash near-dup pairs: bucket by 16-bit SimHash chunks (4 bands —
-    pairs at hamming ≤ 3 share ≥ 1 chunk by pigeonhole), verify by full
-    Hamming distance ≤ max_hamming.
+def _simhash_edge_dataset(
+    sf_dir: str, max_hamming: int, cfg: PipelineConfig
+) -> ray.data.Dataset:
+    """SimHash near-dup edge Dataset: bucket by 16-bit SimHash chunks (4
+    bands — pairs at hamming ≤ 3 share ≥ 1 chunk by pigeonhole), verify by
+    full Hamming distance ≤ max_hamming.
 
     Fully distributed: chunk keys explode per doc (each row carrying all 4
     keys for ownership), ONE groupby(pkey) shuffle, vectorized Hamming
     verification inside the group kernel — no driver-side signature pull.
     """
-    cfg = cfg or PipelineConfig()
     signed = _signed(sf_dir, cfg)
     seed = cfg.seed
     P = 64
@@ -605,12 +614,19 @@ def simhash_near_pairs(
             }
         )
 
-    out = (
+    return (
         signed.map_batches(chunk_explode, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(emit, batch_format="pyarrow")
-        .to_pandas()
     )
+
+
+def simhash_near_pairs(
+    sf_dir: str, max_hamming: int = 3, cfg: PipelineConfig | None = None
+) -> pd.DataFrame:
+    """SimHash near-dup pairs (see ``_simhash_edge_dataset`` for the plan)."""
+    cfg = cfg or PipelineConfig()
+    out = _simhash_edge_dataset(sf_dir, max_hamming, cfg).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {
@@ -621,3 +637,20 @@ def simhash_near_pairs(
     # ownership guarantees global pair uniqueness — no driver dedup net
     # (a duplicate here would be an ownership bug and should surface)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_dedup(
+    sf_dir: str, max_hamming: int = 3, cfg: PipelineConfig | None = None
+) -> pd.DataFrame:
+    """SimHash-cluster dedup (the fuzzy-dedup sibling of
+    ``minhash_lsh_dedup``): connected components over the distributed
+    SimHash near-pair edges, cluster_id = min doc_id — same shared adaptive
+    clustering + apply machinery, edges never pulled whole to the driver."""
+    cfg = cfg or PipelineConfig()
+    edges = _simhash_edge_dataset(sf_dir, max_hamming, cfg).map_batches(
+        lambda t: pa.table(
+            {"id_a": _pad20(t["id_a"]), "id_b": _pad20(t["id_b"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return _cluster_doc_edges(edges, _docs(sf_dir, ["doc_id"]), cfg)

@@ -99,3 +99,52 @@ def test_sweep_pairs_kernel():
     assert set(zip(ii.tolist(), jj.tolist())) == {
         (0, 1), (0, 2), (1, 2), (3, 4)
     }
+
+
+def _write_orders(tmpdir: str, prices: np.ndarray) -> str:
+    os.makedirs(tmpdir, exist_ok=True)
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(len(prices), dtype=np.int64)),
+            "o_totalprice": pa.array(prices.astype(np.float64)),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "orders.parquet"))
+    return tmpdir
+
+
+def test_order_price_quantiles_matches_duckdb_on_skewed_data(
+    ray_session, tmp_path
+):
+    """Histogram-selection quantiles vs DuckDB QUANTILE_DISC on data with
+    heavy repeats and outliers (bucket-boundary stress)."""
+    rng = np.random.default_rng(7)
+    prices = np.concatenate(
+        [
+            np.full(5000, 19.99),             # heavy repeat
+            rng.uniform(1, 100, 3000),
+            np.array([99999.99, 0.01]),       # outliers stretch the range
+        ]
+    )
+    d = _write_orders(str(tmp_path / "orders_skew"), prices)
+    got = relational.order_price_quantiles(d)
+    want = duckdb.sql(
+        f"""
+        WITH c AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc
+                   FROM read_parquet('{d}/orders.parquet')),
+             a AS (SELECT QUANTILE_DISC(pc,0.25) v1, QUANTILE_DISC(pc,0.5) v2,
+                          QUANTILE_DISC(pc,0.75) v3, QUANTILE_DISC(pc,0.95) v4
+                   FROM c)
+        SELECT UNNEST([2500,5000,7500,9500]) AS q_bp,
+               UNNEST([v1,v2,v3,v4]) AS price_cents FROM a
+        """
+    ).fetchdf()
+    assert got["price_cents"].tolist() == want["price_cents"].tolist()
+
+
+def test_order_price_quantiles_tiny_input(ray_session, tmp_path):
+    d = _write_orders(
+        str(tmp_path / "orders_tiny"), np.array([5.0, 1.0, 3.0])
+    )
+    got = relational.order_price_quantiles(d, qs=(0.5,))
+    assert got["price_cents"].tolist() == [300]

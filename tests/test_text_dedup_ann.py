@@ -360,3 +360,109 @@ def test_hot_band_keys_discovery(ray_session):
     )
     hot = _hot_band_keys(ds, max_bucket=4)
     assert hot.tolist() == [7]
+
+
+def test_simhash_dedup_matches_union_find_over_near_pairs(ray_session):
+    """simhash_dedup's clusters must equal a driver union-find over the
+    simhash_near_pairs edge set (same edges, shared clustering machinery)."""
+    from entity_deduplication_hack_main_ray.config import PipelineConfig
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        simhash_dedup,
+        simhash_near_pairs,
+    )
+    from entity_deduplication_hack_main_ray.state.unionfind import UnionFind
+
+    got = simhash_dedup(SF)
+    pairs = simhash_near_pairs(SF)
+    uf = UnionFind()
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        uf.union(f"{a:020d}", f"{b:020d}")
+    assign = {int(k): int(v) for k, v in uf.assignments().items()}
+    for doc, cid in zip(got["doc_id"], got["cluster_id"]):
+        assert assign.get(int(doc), int(doc)) == int(cid)
+    # distributed clustering path must agree
+    import dataclasses
+
+    forced = simhash_dedup(
+        SF, cfg=dataclasses.replace(PipelineConfig(), driver_uf_max_edges=0)
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), forced.reset_index(drop=True)
+    )
+
+
+def test_image_embed_near_dup_pairs_matches_reference(ray_session):
+    """Distributed multimodal-embed near-dup == single-process replica
+    (same DCT embed, same centered bucketing, same e6 rounding), and golden
+    exact/reencode image pairs are found."""
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.functions.codecs import decode_image
+    from entity_deduplication_hack_main_ray.functions.hashing import (
+        dct_matrix,
+        resize_gray,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        image_embed_near_dup_pairs,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        corpus_for_sf,
+    )
+
+    out = image_embed_near_dup_pairs(SF)
+    corpus_dir, golden_path = corpus_for_sf(SF)
+    rows = duckdb.sql(
+        f"SELECT image_id, bytes, fmt FROM "
+        f"read_parquet('{corpus_dir}/*.parquet') ORDER BY image_id"
+    ).fetchall()
+    D = dct_matrix(32)
+    embs = []
+    for _, blob, fmt in rows:
+        d = (D @ resize_gray(decode_image(bytes(blob), fmt), 32) @ D.T)[
+            :8, :8
+        ].ravel()
+        n = np.linalg.norm(d)
+        embs.append(
+            ((d / n) if n > 0 else d).astype(np.float32).astype(np.float64)
+        )
+    V = np.array(embs)
+    ids = np.array([int(r[0][:8]) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    mean = Vn[:2048].mean(axis=0)
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((V.shape[1], 12))
+    sig = ((Vn - mean) @ planes > 0).astype(np.uint8)
+    packed = np.packbits(
+        np.pad(sig, ((0, 0), (0, (-sig.shape[1]) % 8))), axis=1,
+        bitorder="little",
+    )
+    bucket = packed[:, :2].astype(np.int64) @ np.array([1, 256])
+    thr_e6 = int(np.floor(0.9999 * 1e6 + 0.5))
+    expected = set()
+    for b in np.unique(bucket):
+        idx = np.nonzero(bucket == b)[0]
+        if len(idx) < 2:
+            continue
+        e6 = np.floor(Vn[idx] @ Vn[idx].T * 1e6 + 0.5).astype(np.int64)
+        ii, jj = np.nonzero(np.triu(e6 >= thr_e6, 1))
+        for i, j in zip(ii, jj):
+            a, c = sorted((int(ids[idx[i]]), int(ids[idx[j]])))
+            expected.add((a, c, int(e6[i, j])))
+    got = set(zip(out["id_a"], out["id_b"], out["cos_sim_e6"]))
+    assert got == expected and len(got) > 0
+
+    g = duckdb.sql(
+        f"SELECT original_id, duplicate_id, variation_type FROM "
+        f"read_parquet('{golden_path}')"
+    ).fetchdf()
+    pair_set = {(a, b) for a, b, _ in got}
+    checked = 0
+    for o, d, var in zip(
+        g["original_id"], g["duplicate_id"], g["variation_type"]
+    ):
+        if var == "exact":
+            a, b = sorted((int(o[:8]), int(d[:8])))
+            # exact image copies always share a bucket (identical vectors)
+            assert (a, b) in pair_set
+            checked += 1
+    assert checked > 0
