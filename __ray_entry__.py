@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_stats": relational.supplier_nation_stats,
         "event_user_counts": relational.event_user_counts,
         "order_price_quantiles": relational.order_price_quantiles,
+        "sliding_event_windows": relational.sliding_event_windows,
+        "top3_orders_per_customer": relational.top3_orders_per_customer,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -212,6 +214,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "sliding_event_windows": """
+            SELECT (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - i) * 900
+                     AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT)
+                     AS sum_value_milli
+            FROM events, UNNEST([0, 1, 2, 3]) AS t(i)
+            GROUP BY window_start
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rn
+              FROM orders) t
+            WHERE rn <= 3
         """,
         "event_user_counts": """
             SELECT event_type,

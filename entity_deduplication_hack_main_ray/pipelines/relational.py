@@ -364,6 +364,84 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def sliding_event_windows(sf_dir: str) -> pd.DataFrame:
+    """SLIDING event-time windows (§2.7's third window class): 1-hour
+    windows sliding by 15 minutes. Ray Data has no window operator, so each
+    event REPLICATES to the exactly-4 windows covering it (the same
+    replicate-to-bands shape as the range join), pre-aggregated per batch,
+    then ONE tiny groupby-sum — the exchange moves per-batch partials, not
+    events. Window key = floor(epoch/900s) − i for i ∈ 0..3; emitted as
+    ``window_start`` epoch seconds."""
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        sec = ts.astype(np.int64) // 1_000_000
+        slot = sec // 900
+        milli = np.round(t["value"].to_numpy() * 1000).astype(np.int64)
+        w_all = np.concatenate([(slot - i) * 900 for i in range(4)])
+        m_all = np.tile(milli, 4)
+        df = (
+            pd.DataFrame({"window_start": w_all, "value_milli": m_all})
+            .groupby("window_start", sort=False)
+            .agg(n_partial=("value_milli", "size"),
+                 sum_partial=("value_milli", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby("window_start")
+        .aggregate(
+            Sum("n_partial", alias_name="n_events"),
+            Sum("sum_partial", alias_name="sum_value_milli"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+def top3_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Generalized per-group top-k (k=3): top-k is associative exactly like
+    top-1 — per-batch partial top-3 per customer (vectorized sort + grouped
+    head), ONE coarse exchange on ``hash(custkey) % P``, the same kernel as
+    the merge. O(P) group-function invocations."""
+    P = 32
+    k = 3
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(
+                ["o_custkey", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby("o_custkey", sort=False)
+            .head(k)
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = topk_per_key(t.to_pandas())
+        g["pkey"] = (g["o_custkey"].to_numpy() % P).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda g: topk_per_key(g).drop(columns=["pkey"]),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    ).reset_index(drop=True)
+
+
 def daily_order_totals(sf_dir: str) -> pd.DataFrame:
     """Time-bucketed aggregate over events-like data (§2.7: tumbling window
     expressed as a grouped aggregate on the bucket key — Ray Data has no
