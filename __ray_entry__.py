@@ -75,9 +75,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_part_revenue": relational.supplier_part_revenue,
         "supplier_nation_stats": relational.supplier_nation_stats,
         "event_user_counts": relational.event_user_counts,
+        "approx_user_counts": relational.approx_user_counts,
         "order_price_quantiles": relational.order_price_quantiles,
         "sliding_event_windows": relational.sliding_event_windows,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
+        "props_k_stats": relational.props_k_stats,
+        "priority_revenue": relational.priority_revenue,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -214,6 +217,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "props_k_stats": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "priority_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY o_orderpriority
         """,
         "sliding_event_windows": """
             SELECT (CAST(FLOOR(epoch(ts)/900) AS BIGINT) - i) * 900

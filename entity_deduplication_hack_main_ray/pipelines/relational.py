@@ -742,6 +742,80 @@ def event_user_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def approx_user_counts(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """APPROXIMATE grouped count-distinct via HyperLogLog (Flajolet et al.
+    2007, the standard public formulation) — the sketch path promised by
+    ``event_user_counts``'s docstring: per-batch 2^p-register sketches (one
+    4096-byte row per (batch × type)), element-wise-max merge per type, the
+    bias-corrected estimate with linear-counting small-range correction on
+    the driver. The exchange moves O(batches × types) fixed-size register
+    blobs no matter how many events or users exist — the 100 TB shape.
+
+    Exactness contract: none (approximate by design); the pytest bounds the
+    relative error against the exact ``event_user_counts`` at ≤ 3%, well
+    inside HLL's 1.04/√4096 ≈ 1.6% standard error."""
+    from ..functions.hashing import splitmix64
+
+    m = 1 << p
+    wbits = 64 - p
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        types, regs = [], []
+        for etype, sub in df.groupby("event_type", sort=False):
+            h = splitmix64(
+                sub["user_id"].to_numpy().astype(np.uint64)
+            )
+            idx = (h >> np.uint64(wbits)).astype(np.int64)
+            w = h & np.uint64((1 << wbits) - 1)
+            # rank of first 1-bit in the wbits-wide suffix; exact via float
+            # log2 (w < 2^52 for p ≥ 12, representable in float64)
+            bl = np.zeros(len(w), dtype=np.int64)
+            nz = w > 0
+            bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(
+                np.int64
+            ) + 1
+            rho = (wbits - bl + 1).astype(np.uint8)
+            reg = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(reg, idx, rho)
+            types.append(etype)
+            regs.append(reg.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "registers": pa.array(regs, pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        mats = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["registers"]]
+        )
+        reg = np.maximum.reduce(mats)
+        # HLL estimate + linear-counting small-range correction
+        est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(
+            np.power(2.0, -reg.astype(np.float64))
+        )
+        zeros = int((reg == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "approx_users": [int(round(est))],
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def order_price_quantiles(
     sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
 ) -> pd.DataFrame:
@@ -859,6 +933,117 @@ def brand_part_stats(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured column processing: the events ``props`` column is a
+    JSON string; ``k`` is extracted with ONE vectorized Arrow RE2
+    ``extract_regex`` per batch (no per-row json.loads) and aggregated per
+    event_type with exact integer sums. The DuckDB oracle uses
+    ``json_extract_string`` — two engines, one value."""
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def priority_revenue(sf_dir: str, cutoff: str = "1997-06-01") -> pd.DataFrame:
+    """TPC-H Q3-shaped filtered 3-way join: revenue per order priority for
+    orders placed before ``cutoff`` with lineitems shipped after it.
+
+    Scale shape: both date predicates are PUSHED TO THE READ
+    (``read_parquet(filter=...)`` prunes row groups before any byte leaves
+    storage), then the lineitem ⋈ orders join runs as the tagged-union
+    co-partition on ``orderkey % P`` with per-partition pre-aggregation by
+    priority — the second exchange moves P × n_priorities rows."""
+    P = 32
+    cut = pa.scalar(np.datetime64(cutoff, "us"), pa.timestamp("us"))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < cut),
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > cut),
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pkey": pa.array((ok % P).astype(np.int64)),
+                "key": pa.array(ok),
+                "o_orderpriority": t["o_orderpriority"],
+                "revenue_e4": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_lineitem(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        return pa.table(
+            {
+                "pkey": pa.array((ok % P).astype(np.int64)),
+                "key": pa.array(ok),
+                "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+                "revenue_e4": pa.array(
+                    np.round(price * (1.0 - disc) * 10000).astype(np.int64)
+                ),
+            }
+        )
+
+    merged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        li.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_and_partial_agg(g: pd.DataFrame) -> pd.DataFrame:
+        dim = g[g["o_orderpriority"].notna()][["key", "o_orderpriority"]]
+        fact = g[g["revenue_e4"].notna()][["key", "revenue_e4"]].copy()
+        fact["revenue_e4"] = fact["revenue_e4"].astype("int64")
+        j = fact.merge(dim, on="key", how="inner")
+        if j.empty:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series(dtype="object"),
+                    "revenue_e4_partial": pd.Series(dtype="int64"),
+                    "n_partial": pd.Series(dtype="int64"),
+                }
+            )
+        agg = j.groupby("o_orderpriority", sort=False).agg(
+            revenue_e4_partial=("revenue_e4", "sum"),
+            n_partial=("revenue_e4", "size"),
+        )
+        return agg.reset_index()
+
+    out = (
+        merged.groupby("pkey")
+        .map_groups(join_and_partial_agg, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("revenue_e4_partial", alias_name="revenue_e4"),
+            Sum("n_partial", alias_name="n_lineitems"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
 def supplier_part_revenue(sf_dir: str) -> pd.DataFrame:

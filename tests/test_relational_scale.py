@@ -148,3 +148,24 @@ def test_order_price_quantiles_tiny_input(ray_session, tmp_path):
     )
     got = relational.order_price_quantiles(d, qs=(0.5,))
     assert got["price_cents"].tolist() == [300]
+
+
+def test_approx_user_counts_within_hll_error(ray_session):
+    """HLL sketch estimate vs the exact count-distinct: relative error must
+    stay well inside the 2^12-register standard error."""
+    exact = relational.event_user_counts(SF_DIR).set_index("event_type")[
+        "n_users"
+    ]
+    approx = relational.approx_user_counts(SF_DIR).set_index("event_type")[
+        "approx_users"
+    ]
+    assert set(exact.index) == set(approx.index)
+    for etype in exact.index:
+        rel = abs(approx[etype] - exact[etype]) / max(1, exact[etype])
+        assert rel <= 0.03, (etype, approx[etype], exact[etype])
+
+
+def test_approx_user_counts_deterministic(ray_session):
+    a = relational.approx_user_counts(SF_DIR)
+    b = relational.approx_user_counts(SF_DIR)
+    pd.testing.assert_frame_equal(a, b)
