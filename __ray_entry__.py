@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from entity_deduplication_hack_main_ray.pipelines import (
         ann,
         corpus_dedup,
+        incremental,
         relational,
         text_analysis,
         text_dedup,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_eval": corpus_dedup.golden_eval,
         "alpha_sweep": corpus_dedup.alpha_sweep,
         "psnr_spot_check": corpus_dedup.psnr_spot_check_edges,
+        "incremental_dedup_clusters": incremental.incremental_dedup_clusters,
     }
 
 

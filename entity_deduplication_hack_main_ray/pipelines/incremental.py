@@ -1,0 +1,177 @@
+"""Incremental dedup: grow an already-deduped corpus with a NEW shard
+without reprocessing old×old pairs — the daily-ingestion shape of a 100 TB
+corpus (the reference reruns everything from scratch; SURVEY.md §4 names
+resume/grow as the engine's obligation).
+
+Plan:
+
+    old signatures  ← the base run's ``signatures`` checkpoint (parquet)
+    new signatures  ← compute_signatures over ONLY the new shard
+    tag is_new 0/1 → union → the SAME explode → ONE groupby(pkey) →
+    emit_pairs drops both-old pairs AFTER ownership   # old×old verified
+                                                      # edges already live
+                                                      # in the old clusters
+    verify (new + cross pairs only)
+    union-find seeded with the old cluster assignment (each old row
+    contributes the edge ``cluster_id → image_id``) ∪ new passing edges
+    → clusters over ALL ids (old ∪ new)
+
+Equivalence contract (pytest-pinned): the incremental result equals the
+full-batch run over old ∪ new EXACTLY whenever bucket hotness
+classification is unchanged by the growth — i.e. no bucket crosses
+``max_bucket`` because of the new shard. When a bucket does cross, the
+full run's digest refinement may generate a slightly different old×old
+pair set than the base run did (the standard incremental-LSH caveat);
+connectivity from the base run is preserved either way, so incremental
+recall never drops below the base run's.
+
+Why this is the 100 TB path: per ingestion batch the exchange volume is
+O(old signatures + new shard), not O(old corpus) — signatures are ~200 B
+per doc vs multi-KB payloads, the old corpus' bytes/captions are never
+re-read, and old×old pairs (the quadratic bulk of a mostly-old corpus)
+are never re-verified.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import PipelineConfig
+from ..sources.io import read_corpus
+from ..stages.cluster import cluster_assignments
+from .dedup import assignments_to_clusters, compute_edges, compute_signatures
+
+
+def _tag(ds: ray.data.Dataset, flag: int) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: t.append_column(
+            "is_new", pa.array([bool(flag)] * t.num_rows, pa.bool_())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def incremental_dedup_pipeline(
+    old_ckpt_dir: str,
+    new_corpus_path: str,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int = 64,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Returns (new_edges, clusters_over_all_ids).
+
+    ``old_ckpt_dir`` must hold a completed base run (``dedup_pipeline(...,
+    ckpt_dir=...)``): its ``signatures`` and ``clusters`` stages are the
+    only state consumed — the old corpus itself is never re-read.
+    """
+    import json
+
+    cfg = cfg or PipelineConfig()
+    sig_dir = os.path.join(old_ckpt_dir, "signatures")
+    clu_dir = os.path.join(old_ckpt_dir, "clusters")
+    if not (os.path.isdir(sig_dir) and os.path.isdir(clu_dir)):
+        raise FileNotFoundError(
+            f"incremental_dedup_pipeline needs a completed base run under "
+            f"{old_ckpt_dir} (signatures/ and clusters/ stages)"
+        )
+    with open(os.path.join(sig_dir, "_manifest.json")) as f:
+        m = json.load(f)
+    if m.get("config_hash") != cfg.config_hash() or not m.get("complete"):
+        raise ValueError(
+            "base-run signatures were produced under a different "
+            "PipelineConfig (or are incomplete) — incremental growth "
+            "requires identical semantic knobs"
+        )
+    old_sigs = ray.data.read_parquet(sig_dir)
+    old_clusters = ray.data.read_parquet(clu_dir)
+
+    cols = ["image_id", "caption", "phash"]
+    new_sigs = compute_signatures(read_corpus(new_corpus_path, cols), cfg)
+    sigs = _tag(old_sigs, 0).union(_tag(new_sigs, 1))
+
+    # is_new rides through explode; emit_pairs drops both-old pairs
+    edges_new = compute_edges(sigs, cfg, num_partitions).materialize()
+
+    passing = edges_new.map_batches(
+        lambda t: t.filter(pc.equal(t["pass"], True)), batch_format="pyarrow"
+    ).select_columns(["id_a", "id_b"])
+
+    # seed edges: every old non-singleton row is an edge cluster_id→image_id
+    # (cluster_id = the component's min id, so id order is already canonical)
+    def seed(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(t["cluster_size"], pa.scalar(1, pa.int32())),
+            pc.not_equal(t["image_id"], t["cluster_id"]),
+        )
+        f = t.filter(keep)
+        return pa.table({"id_a": f["cluster_id"], "id_b": f["image_id"]})
+
+    seed_edges = old_clusters.map_batches(seed, batch_format="pyarrow")
+    assign = cluster_assignments(seed_edges.union(passing), cfg)
+
+    all_ids = old_clusters.select_columns(["image_id"]).union(
+        read_corpus(new_corpus_path, ["image_id"])
+    )
+    clusters = assignments_to_clusters(all_ids, assign)
+    return edges_new, clusters
+
+
+def split_corpus(corpus_dir: str, frac: float = 0.6) -> tuple[str, str, str]:
+    """Split a corpus dir into base (first ``frac`` of rows) and growth
+    shards under /tmp (fixture plumbing for the incremental query/tests —
+    the driver-side concat is test-scale only). Cached per corpus dir.
+    Returns (base_dir, grow_dir, work_dir)."""
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        f for f in os.listdir(corpus_dir) if f.endswith(".parquet")
+    )
+    work = os.path.join(
+        "/tmp/edh_ray_incremental",
+        os.path.basename(os.path.dirname(corpus_dir.rstrip("/")))
+        + f"_{len(parts)}",
+    )
+    base_dir = os.path.join(work, "base")
+    grow_dir = os.path.join(work, "grow")
+    if not os.path.exists(os.path.join(work, "_split_done")):
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(base_dir)
+        os.makedirs(grow_dir)
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(corpus_dir, f)) for f in parts]
+        )
+        cut = max(1, int(t.num_rows * frac))
+        pq.write_table(
+            t.slice(0, cut), os.path.join(base_dir, "part-0.parquet")
+        )
+        pq.write_table(
+            t.slice(cut), os.path.join(grow_dir, "part-0.parquet")
+        )
+        open(os.path.join(work, "_split_done"), "w").write("ok")
+    return base_dir, grow_dir, work
+
+
+def incremental_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Driver query: split the sf corpus into a 60% base shard and a 40%
+    growth shard, run the base pipeline with checkpoints, then ingest the
+    growth shard incrementally. Returns the combined clusters table (the
+    equivalence pytest asserts it equals the full-batch run)."""
+    from .corpus_dedup import corpus_for_sf
+    from .dedup import dedup_pipeline
+
+    cfg = PipelineConfig()
+    corpus_dir, _ = corpus_for_sf(sf_dir)
+    base_dir, grow_dir, work = split_corpus(corpus_dir)
+    ckpt_dir = os.path.join(work, "ckpt")
+
+    edges, clusters = dedup_pipeline(base_dir, cfg, ckpt_dir=ckpt_dir)
+    clusters.count()  # drive the base run to completion (writes checkpoints)
+    _, combined = incremental_dedup_pipeline(ckpt_dir, grow_dir, cfg)
+    out = combined.to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)

@@ -35,22 +35,19 @@ def explode_keys(batch: pa.Table, num_partitions: int) -> pa.Table:
         keys = keys.combine_chunks()
     flat = keys.flatten()
     parent = pc.list_parent_indices(keys)
-    taken = batch.select(
-        ["image_id", "caption_norm", "phash", "digest", "keys"]
-    ).take(parent)
+    carry = ["image_id", "caption_norm", "phash", "digest", "keys"]
+    # incremental mode: the old/new tag rides along so the pair-emit kernel
+    # can drop both-old pairs (their connectivity is already in the old
+    # cluster assignment — see pipelines/incremental.py)
+    if "is_new" in batch.column_names:
+        carry.append("is_new")
+    taken = batch.select(carry).take(parent)
     band_key = flat
     flat_np = flat.to_numpy(zero_copy_only=False).view(np.uint64)
     pkey = pa.array(
         (flat_np % np.uint64(num_partitions)).astype(np.int64), pa.int64()
     )
-    return pa.table(
-        {
-            "pkey": pkey,
-            "band_key": band_key,
-            "image_id": taken["image_id"],
-            "caption_norm": taken["caption_norm"],
-            "phash": taken["phash"],
-            "digest": taken["digest"],
-            "keys": taken["keys"],
-        }
-    )
+    cols = {"pkey": pkey, "band_key": band_key}
+    for c in carry:
+        cols[c] = taken[c]
+    return pa.table(cols)

@@ -164,6 +164,19 @@ def emit_pairs(group: pa.Table, cfg: PipelineConfig) -> pa.Table:
     if not pairs:
         return PAIR_SCHEMA.empty_table()
 
+    if "is_new" in group.column_names:
+        # incremental mode: both-old pairs were verified in the base run —
+        # their connectivity is already encoded in the old clusters; only
+        # pairs touching a NEW doc need verification. The filter runs AFTER
+        # ownership so the kept pair set is exactly "full-run pairs with
+        # ≥ 1 new member".
+        new_flag = group["is_new"].to_numpy(zero_copy_only=False)
+        pairs = {
+            (i, j) for (i, j) in pairs if new_flag[i] or new_flag[j]
+        }
+        if not pairs:
+            return PAIR_SCHEMA.empty_table()
+
     # vectorized payload gather: canonicalize pair order by id with Arrow
     # string compare + if_else, then take() the payload columns — no
     # Python-per-pair loop (SURVEY.md "stay vectorized")
