@@ -465,7 +465,7 @@ def daily_order_totals(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("day").reset_index(drop=True)
 
 
-def events_asof_join(sf_dir: str) -> pd.DataFrame:
+def events_asof_join(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
     """AS-OF JOIN — a custom operator Ray Data lacks (SURVEY brief §custom):
     for every event, the most recent event of the REFERENCE TYPE (the
     lexicographically first event_type — deterministic) by the same user at
@@ -479,7 +479,7 @@ def events_asof_join(sf_dir: str) -> pd.DataFrame:
     (epoch micros, tie-invariant: equal-ts ties share the value) so the
     DuckDB ``ASOF JOIN`` oracle hash-matches exactly.
     """
-    P = 32
+    P = num_partitions  # the co-partition knob to raise on a real cluster
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     ref_type = min(ds.unique("event_type"))
 
@@ -576,7 +576,10 @@ def _sweep_pairs(cents: np.ndarray, delta: int, cap: int | None) -> tuple[
 
 
 def events_value_range_join(
-    sf_dir: str, delta_cents: int = 1, max_pairs_per_band: int | None = None
+    sf_dir: str,
+    delta_cents: int = 1,
+    max_pairs_per_band: int | None = None,
+    num_partitions: int = 32,
 ) -> pd.DataFrame:
     """RANGE JOIN — the second custom operator Ray Data lacks (SURVEY brief
     §custom): all event pairs whose ``value``s lie within ±delta_cents of
@@ -598,7 +601,7 @@ def events_value_range_join(
     drops are counted in logs, never silent. Returns
     (id_a, id_b, value_diff_cents).
     """
-    P = 32
+    P = num_partitions  # the co-partition knob to raise on a real cluster
     delta = int(delta_cents)
     width = max(delta, 1)  # δ=0 degenerates to an exact-equality join
     ds = _t(sf_dir, "events", ["event_id", "value"])
@@ -962,7 +965,9 @@ def props_k_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
-def priority_revenue(sf_dir: str, cutoff: str = "1997-06-01") -> pd.DataFrame:
+def priority_revenue(
+    sf_dir: str, cutoff: str = "1997-06-01", num_partitions: int = 32
+) -> pd.DataFrame:
     """TPC-H Q3-shaped filtered 3-way join: revenue per order priority for
     orders placed before ``cutoff`` with lineitems shipped after it.
 
@@ -971,7 +976,7 @@ def priority_revenue(sf_dir: str, cutoff: str = "1997-06-01") -> pd.DataFrame:
     storage), then the lineitem ⋈ orders join runs as the tagged-union
     co-partition on ``orderkey % P`` with per-partition pre-aggregation by
     priority — the second exchange moves P × n_priorities rows."""
-    P = 32
+    P = num_partitions  # the co-partition knob to raise on a real cluster
     cut = pa.scalar(np.datetime64(cutoff, "us"), pa.timestamp("us"))
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -1046,7 +1051,7 @@ def priority_revenue(sf_dir: str, cutoff: str = "1997-06-01") -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
-def supplier_part_revenue(sf_dir: str) -> pd.DataFrame:
+def supplier_part_revenue(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
     """LARGE × LARGE co-partitioned hash join — the generic shuffle join the
     broadcast pattern can't cover when NEITHER side fits in memory:
     lineitem ⋈ part on partkey, revenue cents per part type.
@@ -1058,7 +1063,7 @@ def supplier_part_revenue(sf_dir: str) -> pd.DataFrame:
     groupby moves only ``P × n_types`` tiny rows. At 100 TB this is the
     standard plan: the exchange volume is the two projected inputs, once.
     """
-    P = 32
+    P = num_partitions  # the co-partition knob to raise on a real cluster
     part = _t(sf_dir, "part", ["p_partkey", "p_type"])
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 

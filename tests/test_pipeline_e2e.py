@@ -263,3 +263,26 @@ def test_write_matches_json(ray_session, tmp_path):
         assert k in r
     fa = json.loads(r["fields_a"])
     assert isinstance(fa, dict) and len(fa) > 0
+
+
+def test_flagship_invariant_across_partition_counts(ray_session):
+    """Cluster output must be independent of the physical partition count
+    (ownership + min-id clustering are partition-agnostic by construction):
+    the same corpus at 16 vs 64 shuffle partitions is byte-identical."""
+    from entity_deduplication_hack_main_ray.config import PipelineConfig
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        corpus_for_sf,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.dedup import dedup_pipeline
+
+    corpus_dir, _ = corpus_for_sf("/root/testdata/sf0.001")
+    cfg = PipelineConfig()
+    import pandas as pd
+
+    outs = []
+    for p in (16, 64):
+        _, clusters = dedup_pipeline(corpus_dir, cfg, num_partitions=p)
+        outs.append(
+            clusters.to_pandas().sort_values("image_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
