@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.frames import ensure_cols, typed_empty
+
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
     # label column pruned at the read: every ANN query needs only id+vector
@@ -72,7 +74,10 @@ def _lowest_vec_rows(ds: ray.data.Dataset, n: int) -> pd.DataFrame:
             return t.take(pa.array(keep))
         return t
 
-    parts = ds.map_batches(batch_min, batch_format="pyarrow").to_pandas()
+    parts = ensure_cols(
+        ds.map_batches(batch_min, batch_format="pyarrow").to_pandas(),
+        vec_id="int64", embedding="object",
+    )
     return (
         parts.sort_values("vec_id").head(n).reset_index(drop=True)
     )
@@ -90,6 +95,8 @@ def brute_force_cosine_topk(
     """
     ds = _emb(sf_dir)
     qrows = _lowest_vec_rows(ds, n_queries)
+    if qrows.empty:
+        return typed_empty(query_id="int64", vec_id="int64", cos_sim_e6="int64")
     Q = _stack(qrows["embedding"])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qids = qrows["vec_id"].to_numpy()
@@ -118,7 +125,10 @@ def brute_force_cosine_topk(
             }
         )
 
-    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    cand = ensure_cols(
+        ds.map_batches(score_topk, batch_format="pyarrow").to_pandas(),
+        query_id="int64", vec_id="int64", cos_sim_e6="int64",
+    )
     out = (
         cand.sort_values(
             ["query_id", "cos_sim_e6", "vec_id"],
@@ -144,6 +154,8 @@ def lsh_bucketed_topk(
     """
     ds = _emb(sf_dir)
     qrows = _lowest_vec_rows(ds, n_queries)
+    if qrows.empty:
+        return typed_empty(query_id="int64", vec_id="int64", cos_sim_e6="int64")
     Q = _stack(qrows["embedding"])
     dim = Q.shape[1]
     rng = np.random.default_rng(seed)
@@ -188,7 +200,10 @@ def lsh_bucketed_topk(
             }
         )
 
-    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    cand = ensure_cols(
+        ds.map_batches(score_topk, batch_format="pyarrow").to_pandas(),
+        query_id="int64", vec_id="int64", cos_sim_e6="int64",
+    )
     out = (
         cand.sort_values(
             ["query_id", "cos_sim_e6", "vec_id"],
@@ -225,7 +240,10 @@ def near_dup_pairs_dataset(
     component) otherwise collapse into a handful of buckets and the
     within-bucket matmul degenerates toward all-pairs.
     """
-    dim = len(ds.take(1)[0]["embedding"])
+    head = ds.take(1)
+    if not head:  # empty input: nothing to bucket
+        return typed_empty(id_a="int64", id_b="int64", cos_sim_e6="int64")
+    dim = len(head[0]["embedding"])
     mean_ref = None
     if center:
         sample = _stack(ds.limit(2048).to_pandas()["embedding"])
@@ -520,6 +538,8 @@ def ivf_topk(
     """
     ds = _emb(sf_dir)
     sample = ds.limit(sample_size).to_pandas()
+    if sample.empty:
+        return typed_empty(query_id="int64", vec_id="int64", cos_sim_e6="int64")
     X = _stack(sample["embedding"])
     C = _kmeans_lite(X, n_centroids, seed)
 
@@ -565,7 +585,10 @@ def ivf_topk(
             }
         )
 
-    cand = ds.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    cand = ensure_cols(
+        ds.map_batches(score_topk, batch_format="pyarrow").to_pandas(),
+        query_id="int64", vec_id="int64", cos_sim_e6="int64",
+    )
     out = (
         cand.sort_values(
             ["query_id", "cos_sim_e6", "vec_id"],

@@ -19,6 +19,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions.frames import ensure_cols, typed_empty
+
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
@@ -742,6 +744,8 @@ def event_user_counts(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    out = ensure_cols(out, event_type="object", n_users="int64",
+                      n_events="int64")
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -816,6 +820,7 @@ def approx_user_counts(sf_dir: str, p: int = 12) -> pd.DataFrame:
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
+    out = ensure_cols(out, event_type="object", approx_users="int64")
     return out.sort_values("event_type").reset_index(drop=True)
 
 
@@ -854,6 +859,8 @@ def order_price_quantiles(
     stats = col.aggregate(
         Min("price_cents"), Max("price_cents"), Count()
     )
+    if stats is None or stats.get("count()") in (None, 0):
+        return typed_empty(q_bp="int64", price_cents="int64")
     lo, hi = int(stats["min(price_cents)"]), int(stats["max(price_cents)"])
     n = int(stats["count()"])
     width = max(1, (hi - lo + 1) // 65536)

@@ -18,6 +18,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from ..functions import text as tx
+from ..functions.frames import ensure_cols
 
 
 def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -43,6 +44,7 @@ def doc_stats(sf_dir: str) -> pd.DataFrame:
         .map_batches(_stats_batch, batch_format="pyarrow")
         .to_pandas()
     )
+    out = ensure_cols(out, doc_id="int64", n_chars="int64", n_tokens="int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -88,6 +90,9 @@ def doc_quality(sf_dir: str) -> pd.DataFrame:
         .map_batches(_quality_batch, batch_format="pyarrow")
         .to_pandas()
     )
+    out = ensure_cols(out, doc_id="int64", n_chars="int64",
+                      punct_ratio_e6="int64", stopword_ratio_e6="int64",
+                      mean_word_len_e6="int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -116,6 +121,7 @@ def lang_distribution(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n_partial", alias_name="n_docs"))
         .to_pandas()
     )
+    out = ensure_cols(out, lang_guess="object", n_docs="int64")
     return out.sort_values("lang_guess").reset_index(drop=True)
 
 
@@ -138,4 +144,5 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
         .map_batches(_fingerprint_batch, batch_format="pyarrow")
         .to_pandas()
     )
+    out = ensure_cols(out, doc_id="int64", fingerprint="int64")
     return out.sort_values("doc_id").reset_index(drop=True)

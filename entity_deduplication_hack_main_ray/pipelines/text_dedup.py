@@ -30,6 +30,7 @@ from ..functions.hashing import (
     signature_digest,
     simhash_from_stream,
 )
+from ..functions.frames import ensure_cols
 from ..oracle import _KEY_PAD, owned_pair_mask
 
 
@@ -84,6 +85,7 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
+    out = ensure_cols(out, doc_id="int64", text="object")
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
 
 
@@ -250,7 +252,10 @@ def _cluster_doc_edges(
                 }
             )
 
-        out = doc_ids.map_batches(apply, batch_format="pyarrow").to_pandas()
+        out = ensure_cols(
+            doc_ids.map_batches(apply, batch_format="pyarrow").to_pandas(),
+            doc_id="int64", cluster_id="int64",
+        )
     else:
         # distributed labels: reuse the flagship's two-exchange apply over
         # padded string ids, then map back to int64
@@ -273,6 +278,7 @@ def _cluster_doc_edges(
             )
             .to_pandas()
         )
+    out = ensure_cols(out, doc_id="int64", cluster_id="int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -284,6 +290,7 @@ def simhash_signatures_table(sf_dir: str, cfg: PipelineConfig | None = None) -> 
         .select_columns(["doc_id", "simhash"])
         .to_pandas()
     )
+    out = ensure_cols(out, doc_id="int64", simhash="int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -1,0 +1,55 @@
+"""Empty-input hardening: every documents/events/orders/embeddings pipeline
+must return a TYPED empty frame (schema intact) on zero-row tables — the
+failure mode is Ray's empty-Dataset.to_pandas() dropping the schema, which
+round-3 guards with functions.frames.ensure_cols/typed_empty."""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in ["documents", "events", "orders", "embeddings"]:
+        tbl = duckdb.sql(
+            f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0"
+        ).arrow()
+        pq.write_table(pa.table(tbl), os.path.join(d, f"{t}.parquet"))
+    return d
+
+
+CASES = [
+    ("exact_dedup_docs", ["doc_id", "text"]),
+    ("minhash_lsh_dedup_docs", ["doc_id", "cluster_id"]),
+    ("simhash_dedup_docs", ["doc_id", "cluster_id"]),
+    ("simhash_docs", ["doc_id", "simhash"]),
+    ("doc_stats", ["doc_id", "n_chars", "n_tokens"]),
+    ("doc_quality", ["doc_id", "n_chars", "punct_ratio_e6",
+                     "stopword_ratio_e6", "mean_word_len_e6"]),
+    ("doc_fingerprints", ["doc_id", "fingerprint"]),
+    ("lang_distribution", ["lang_guess", "n_docs"]),
+    ("event_user_counts", ["event_type", "n_users", "n_events"]),
+    ("approx_user_counts", ["event_type", "approx_users"]),
+    ("order_price_quantiles", ["q_bp", "price_cents"]),
+    ("events_value_range_join", ["id_a", "id_b", "value_diff_cents"]),
+    ("ann_cosine_topk", ["query_id", "vec_id", "cos_sim_e6"]),
+    ("ann_lsh_topk", ["query_id", "vec_id", "cos_sim_e6"]),
+    ("ann_ivf_topk", ["query_id", "vec_id", "cos_sim_e6"]),
+    ("embedding_near_dup_pairs", ["id_a", "id_b", "cos_sim_e6"]),
+    ("text_embed_near_dup_pairs", ["id_a", "id_b", "cos_sim_e6"]),
+]
+
+
+@pytest.mark.parametrize("name,cols", CASES, ids=[c[0] for c in CASES])
+def test_empty_input_keeps_schema(ray_session, empty_sf, name, cols):
+    import __ray_entry__ as em
+
+    df = em.queries()[name](empty_sf)
+    assert len(df) == 0
+    assert set(cols) <= set(df.columns)
