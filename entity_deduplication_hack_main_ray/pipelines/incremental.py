@@ -61,12 +61,19 @@ def incremental_dedup_pipeline(
     new_corpus_path: str,
     cfg: PipelineConfig | None = None,
     num_partitions: int = 64,
+    ckpt_dir: str | None = None,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Returns (new_edges, clusters_over_all_ids).
 
     ``old_ckpt_dir`` must hold a completed base run (``dedup_pipeline(...,
     ckpt_dir=...)``): its ``signatures`` and ``clusters`` stages are the
     only state consumed — the old corpus itself is never re-read.
+
+    ``ckpt_dir`` (optional) makes the growth CHAINABLE: the run writes its
+    own ``signatures`` stage (old ∪ new, untagged — the same schema a base
+    run writes) and ``clusters`` stage there, so the NEXT ingestion batch
+    points its ``old_ckpt_dir`` at this run's ``ckpt_dir`` — the daily
+    ingestion loop, each day touching only its own shard.
     """
     import json
 
@@ -116,7 +123,25 @@ def incremental_dedup_pipeline(
     all_ids = old_clusters.select_columns(["image_id"]).union(
         read_corpus(new_corpus_path, ["image_id"])
     )
-    clusters = assignments_to_clusters(all_ids, assign)
+    if ckpt_dir is None:
+        clusters = assignments_to_clusters(all_ids, assign)
+        return edges_new, clusters
+
+    # chainable mode: persist this increment's combined signatures and
+    # clusters with the SAME stage layout a base run writes, so the next
+    # batch consumes this directory as its old_ckpt_dir
+    from ..state.checkpoint import fingerprint_input, run_stage
+
+    fprint = m["input_fingerprint"] + ":" + fingerprint_input(new_corpus_path)
+    combined_sigs = old_sigs.union(new_sigs)
+    run_stage(
+        ckpt_dir, "signatures", cfg.config_hash(), fprint,
+        lambda: combined_sigs,
+    )
+    clusters = run_stage(
+        ckpt_dir, "clusters", cfg.config_hash(), fprint,
+        lambda: assignments_to_clusters(all_ids, assign),
+    )
     return edges_new, clusters
 
 
