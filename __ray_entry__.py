@@ -339,10 +339,76 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cos_sim_e6 FROM scored WHERE rn <= 5
         """,
-        # lang_distribution / doc_fingerprints / minhash_lsh_dedup_docs /
-        # simhash_* / ngram_jaccard_pairs / ann_lsh_topk /
-        # embedding_near_dup_pairs / image_dedup_* / golden_eval:
-        # non-SQL-expressible (seeded hash families, heuristic models, LSH
-        # approximations, synthetic corpus) → rows-only checks, each with a
-        # value-asserting pytest.
+        # ngram_jaccard_pairs: the oracle is EXACT all-pairs Jaccard over
+        # true character-5-shingle sets of lower(text); the engine runs
+        # MinHash-LSH candidates + exact verification over 64-bit HASHED
+        # shingle sets. Bit-exact equality (pairs AND float jaccard values,
+        # measured at sf0.001/0.01/0.1) therefore certifies two things at
+        # once: LSH candidate recall is 1.0 on this corpus, and the hashed
+        # sets are collision-free.
+        "ngram_jaccard_pairs": """
+            WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, SUBSTRING(t, i, 5) AS s
+              FROM (SELECT doc_id, t,
+                           UNNEST(RANGE(1, GREATEST(LENGTH(t) - 4, 1) + 1)) AS i
+                    FROM docs)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(ninter AS DOUBLE) / (sa.n + sb.n - ninter) >= 0.5
+        """,
+        # lang_distribution: the trigram inventories below are the SAME
+        # public frequency-table constants as functions/text.py
+        # _LANG_TRIGRAMS; scoring replicates lang_id exactly (count WITH
+        # multiplicity over the first 4000 gram positions, first-language-
+        # wins tie break in dict order en>de>fr>es, threshold
+        # max(2, n_grams // 50), len<6 → unknown).
+        "lang_distribution": """
+            WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents),
+            g AS (
+              SELECT doc_id, SUBSTRING(t, i, 3) AS tri
+              FROM (SELECT doc_id, t,
+                           UNNEST(RANGE(1, LEAST(LENGTH(t) - 2, 4000) + 1)) AS i
+                    FROM docs WHERE LENGTH(t) >= 6)
+            ),
+            sc AS (
+              SELECT doc_id, COUNT(*) AS n_grams,
+                COUNT(CASE WHEN tri IN ('the','and','ing','ion','tio','ent','ati','for','her','ter','hat','tha','ere','ate','his','con','res','ver','all','ons') THEN 1 END) AS s_en,
+                COUNT(CASE WHEN tri IN ('der','ein','sch','ich','nde','die','che','den','und','ten','ung','gen','ber','cht','ver','das') THEN 1 END) AS s_de,
+                COUNT(CASE WHEN tri IN ('ent','les','des','que','ion','ous','ait','ur ','eur','ant','tre','est','our','dan','men','par') THEN 1 END) AS s_fr,
+                COUNT(CASE WHEN tri IN ('que','ent','ión','los','ado','con','res','aci','del','est','par','cio','nte','era','las','por') THEN 1 END) AS s_es
+              FROM g GROUP BY doc_id
+            ),
+            lab AS (
+              SELECT doc_id,
+                CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0
+                       OR GREATEST(s_en, s_de, s_fr, s_es) < GREATEST(2, n_grams // 50)
+                     THEN 'unknown'
+                     WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                     WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                     WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     ELSE 'es' END AS lang_guess
+              FROM sc
+              UNION ALL
+              SELECT doc_id, 'unknown' FROM docs WHERE LENGTH(t) < 6
+            )
+            SELECT lang_guess, COUNT(*) AS n_docs FROM lab GROUP BY lang_guess
+        """,
+        # doc_fingerprints / minhash_lsh_dedup_docs / simhash_* /
+        # ann_lsh_topk / ann_ivf_topk / embedding_near_dup_pairs /
+        # image_dedup_* / golden_eval: non-SQL-expressible (seeded 64-bit
+        # hash families, probabilistic MinHash signature equality — measured:
+        # it merges J≈1 docs whose shingle SETS differ, so a set-equality SQL
+        # oracle provably diverges — LSH approximations, synthetic corpus)
+        # → rows-only checks, each with a value-asserting pytest.
     }

@@ -5,11 +5,12 @@ Two physical paths with identical semantics (cluster_id = MIN image_id of the
 connected component — deterministic):
 
 * **driver path** — when the edge count is below
-  ``cfg.driver_uf_max_edges``: stream edge batches to the driver and run
-  C-speed union-find with path compression. Edges are the *verified
-  duplicates*, orders of magnitude smaller than the corpus, so this bound is
-  generous in practice (2M edges ≈ 100 MB driver RAM). The decision is made
-  MID-STREAM (one pass, no separate count execution).
+  ``cfg.driver_uf_max_edges``: stream edge batches to the driver as numpy
+  arrays and resolve components with vectorized min-label propagation +
+  pointer jumping (no per-edge Python). Edges are the *verified duplicates*,
+  orders of magnitude smaller than the corpus, so this bound is generous in
+  practice (2M edges ≈ 100 MB driver RAM). The decision is made MID-STREAM
+  (one pass, no separate count execution).
 * **distributed path** — iterative min-label propagation over Ray Datasets
   (the Hash-Min variant of the MapReduce connected-components family,
   Rastogi et al. 2013). Each round is two coarse-partition exchanges with
@@ -44,7 +45,6 @@ import ray.data
 from ray.data.aggregate import Min
 
 from ..config import PipelineConfig
-from ..state.unionfind import UnionFind
 
 _P = 64  # coarse partitions per exchange (cluster-size independent)
 
@@ -57,17 +57,6 @@ def _pkey(values: pd.Series) -> np.ndarray:
         pd.util.hash_array(values.to_numpy(dtype=object), categorize=False)
         % _P
     ).astype(np.int64)
-
-
-def cluster_edges_driver(edges: ray.data.Dataset) -> dict[str, str]:
-    """Union-find on the driver over streamed edge batches."""
-    uf = UnionFind()
-    for batch in edges.select_columns(["id_a", "id_b"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            uf.union(a, b)
-    return uf.assignments()
 
 
 def cluster_edges_adaptive(
