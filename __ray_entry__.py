@@ -50,6 +50,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_deduplication_hack_main_ray.pipelines import (
         ann,
+        audio,
         corpus_dedup,
         incremental,
         relational,
@@ -87,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.doc_quality,
         "lang_distribution": text_analysis.lang_distribution,
         "doc_fingerprints": text_analysis.doc_fingerprints,
+        # ---- multimodal: audio leg (synth WAV per doc → actor-pool STFT
+        # features; encode→decode→window/FFT end-to-end, value-pinned pytest)
+        "audio_frame_features": audio.audio_frame_features,
         # ---- dedup family over documents ----------------------------------
         "exact_dedup_docs": text_dedup.exact_dedup,
         "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,

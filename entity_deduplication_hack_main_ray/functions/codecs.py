@@ -18,6 +18,10 @@ with ``fmt ∈ {"png", "jpeg"}``. This container ships no imaging libraries
 
 Unknown formats raise ``UnsupportedFormatError`` (NotImplementedError) — the
 explicit stub gate required for absent decoders.
+
+Same pattern per modality: video ships the deterministic ``fvid`` container
+(mp4/webm stub-gated — no ffmpeg), audio ships a REAL RIFF/WAVE 16-bit PCM
+codec (mp3/flac/ogg stub-gated — no codec libs).
 """
 
 from __future__ import annotations
@@ -219,4 +223,80 @@ def decode_video(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
     raise UnsupportedFormatError(
         f"no video decoder for fmt={fmt!r} in this environment (stub gate: "
         f"swap in an ffmpeg-backed decoder on a production image)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (real — RIFF/WAVE 16-bit PCM, pure struct+numpy like the PNG codec)
+# ---------------------------------------------------------------------------
+
+RIFF_SIG = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 PCM → WAV bytes. ``samples`` is (n,) mono or
+    (n, channels) interleaved-on-write. Spec-compliant RIFF/WAVE: plays in
+    any standard audio tool; round-trip is lossless."""
+    s = np.ascontiguousarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, channels = s.shape
+    block_align = channels * 2
+    data = s.tobytes()  # int16 little-endian interleaved (C order)
+    fmt_chunk = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return RIFF_SIG + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ((n,) mono or (n, channels) int16 samples, sample_rate).
+
+    Supports PCM 16-bit (what this engine writes and the overwhelmingly
+    common interchange case); float/24-bit/compressed WAV variants raise the
+    explicit ``UnsupportedFormatError`` stub gate."""
+    if data[:4] != RIFF_SIG or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    channels = sample_rate = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", data, pos + 4)
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise UnsupportedFormatError(
+                    f"WAV variant (fmt={audio_fmt}, bits={bits}) not "
+                    f"supported — only 16-bit PCM in this environment"
+                )
+        elif tag == b"data":
+            pcm = payload
+    if channels is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    s = np.frombuffer(pcm, dtype="<i2").astype(np.int16, copy=False)
+    if channels > 1:
+        s = s.reshape(-1, channels)
+    return s, sample_rate
+
+
+def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """Decode one audio payload by declared format. ``wav`` is a REAL codec
+    (like ``png``); compressed formats (mp3/flac/ogg/…) need external codec
+    libraries — absent here → explicit stub gate."""
+    if fmt == "wav":
+        return decode_wav(data)
+    raise UnsupportedFormatError(
+        f"no audio decoder for fmt={fmt!r} in this environment (stub gate: "
+        f"swap in a libsndfile/ffmpeg-backed decoder on a production image)"
     )
