@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         audio,
         corpus_dedup,
         incremental,
+        multimodal,
         relational,
         text_analysis,
         text_dedup,
@@ -88,9 +89,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.doc_quality,
         "lang_distribution": text_analysis.lang_distribution,
         "doc_fingerprints": text_analysis.doc_fingerprints,
-        # ---- multimodal: audio leg (synth WAV per doc → actor-pool STFT
-        # features; encode→decode→window/FFT end-to-end, value-pinned pytest)
+        # ---- multimodal: audio + video legs (deterministic synth clip per
+        # doc → actor-pool stages; encode→decode→analysis end-to-end,
+        # value-pinned pytests)
         "audio_frame_features": audio.audio_frame_features,
+        "video_frame_stats": multimodal.video_frame_stats,
         # ---- dedup family over documents ----------------------------------
         "exact_dedup_docs": text_dedup.exact_dedup,
         "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,

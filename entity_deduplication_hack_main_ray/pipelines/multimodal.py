@@ -213,6 +213,85 @@ def video_frame_pipeline(
     )
 
 
+_SYNTH_FRAMES = 8
+_SYNTH_SIDE = 16
+
+
+def synth_video_batch(t: pa.Table) -> pa.Table:
+    """documents(doc_id) → (media_id, bytes, fmt) FakeVideo clips: 8 gray
+    16×16 frames whose brightness ramps at a per-doc rate (pure function of
+    doc_id — batch-layout independent). Vectorized: one (rows × frames ×
+    h × w) tensor per batch."""
+    from ..functions.codecs import encode_fake_video
+
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    base = (ids % 97).astype(np.uint8)  # per-doc base brightness
+    step = (1 + ids % 5).astype(np.int64)  # per-doc ramp rate
+    f = np.arange(_SYNTH_FRAMES, dtype=np.int64)
+    ramp = np.clip(
+        base[:, None] + step[:, None] * f[None, :], 0, 255
+    ).astype(np.uint8)
+    yy = np.arange(_SYNTH_SIDE, dtype=np.int64)
+    # frame pixels: ramp + small row gradient (so frames aren't constant)
+    frames = np.clip(
+        ramp[:, :, None, None] + yy[None, None, :, None], 0, 255
+    ).astype(np.uint8)
+    frames = np.broadcast_to(
+        frames, (len(ids), _SYNTH_FRAMES, _SYNTH_SIDE, _SYNTH_SIDE)
+    )
+    return pa.table(
+        {
+            "media_id": pa.array([f"vid-{i}" for i in ids], pa.string()),
+            "bytes": pa.array(
+                [encode_fake_video(frames[r], fps=4) for r in range(len(ids))],
+                pa.binary(),
+            ),
+            "fmt": pa.array(["fvid"] * len(ids), pa.string()),
+        }
+    )
+
+
+def video_frame_stats(sf_dir: str, every_n_frames: int = 2):
+    """Driver query: synth one FakeVideo clip per document → actor-pool
+    frame sampling (PNG re-encode) → per-frame decode stats. Exercises the
+    full video chain (encode_fake_video → VideoFrameSample → decode_png)
+    under Ray; the pytest pins the per-doc brightness ramp. Returns
+    (media_id, frame_idx, mean_e6)."""
+    import pandas as pd
+
+    from ..functions.codecs import decode_png
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    clips = docs.map_batches(synth_video_batch, batch_format="pyarrow")
+    frames = video_frame_pipeline(clips, every_n_frames=every_n_frames)
+
+    def frame_mean(t: pa.Table) -> pa.Table:
+        means = [
+            int(np.floor(decode_png(b).mean() * 1e6 + 0.5))
+            for b in t["frame_png"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "frame_idx": t["frame_idx"],
+                "mean_e6": pa.array(means, pa.int64()),
+            }
+        )
+
+    out = frames.map_batches(frame_mean, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(dtype="object"),
+                "frame_idx": pd.Series(dtype="int32"),
+                "mean_e6": pd.Series(dtype="int64"),
+            }
+        )
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def image_stats_pipeline(
     corpus_path: str, cfg: PipelineConfig | None = None
 ) -> ray.data.Dataset:

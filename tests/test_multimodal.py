@@ -157,3 +157,35 @@ def test_video_pipeline_filters_failed_decodes(ray_session):
         videos, every_n_frames=2, keep_failed=True
     ).to_pandas()
     assert set(audited[~audited["ok"]]["media_id"]) == {"bad"}
+
+
+def test_synth_video_layout_independent():
+    import pyarrow as pa
+
+    from entity_deduplication_hack_main_ray.pipelines.multimodal import (
+        synth_video_batch,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2, 102], pa.int64())})
+    whole = synth_video_batch(t).to_pydict()
+    for i in range(3):
+        part = synth_video_batch(t.slice(i, 1)).to_pydict()
+        assert whole["bytes"][i] == part["bytes"][0]
+
+
+def test_video_frame_stats_query_pins_ramp(ray_session):
+    import numpy as np
+
+    from entity_deduplication_hack_main_ray.pipelines.multimodal import (
+        video_frame_stats,
+    )
+
+    out = video_frame_stats("/root/testdata/sf0.001")
+    # 500 docs × 8 frames sampled every 2 → 4 rows per clip
+    assert len(out) == 500 * 4
+    assert list(out.columns) == ["media_id", "frame_idx", "mean_e6"]
+    assert sorted(out["frame_idx"].unique()) == [0, 2, 4, 6]
+    # per-doc brightness ramp: doc 0 → base 0, step 1, row gradient mean 7.5
+    d0 = out[out["media_id"] == "vid-0"].sort_values("frame_idx")
+    expect = (np.array([0, 2, 4, 6]) + 7.5) * 1e6
+    assert np.array_equal(d0["mean_e6"].to_numpy(), expect.astype(np.int64))
