@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "props_k_stats": relational.props_k_stats,
         "priority_revenue": relational.priority_revenue,
+        "event_type_pivot": relational.event_type_pivot,
+        "customer_region_rollup": relational.customer_region_rollup,
+        "user_event_lag": relational.user_event_lag,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -345,6 +348,39 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.vec_id <> q.query_id
             )
             SELECT query_id, vec_id, cos_sim_e6 FROM scored WHERE rn <= 5
+        """,
+        # event_type_pivot: pivot columns are the generator's five event
+        # types (stable across sf dirs); the engine discovers them from the
+        # aggregate, the SQL necessarily hardcodes them.
+        "event_type_pivot": """
+            SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+                   COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                   COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+                   COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+                   COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+                   COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+            FROM events GROUP BY STRFTIME(ts, '%Y-%m-%d')
+        """,
+        "customer_region_rollup": """
+            SELECT r_name AS region_name, n_name AS nation_name,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                     AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "user_event_lag": """
+            SELECT event_id, user_id,
+                   COALESCE(CAST(DATE_DIFF('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) AS BIGINT),
+                       -1) AS prev_gap_us,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS BIGINT)
+                     AS rn
+            FROM events
         """,
         # ngram_jaccard_pairs: the oracle is EXACT all-pairs Jaccard over
         # true character-5-shingle sets of lower(text); the engine runs

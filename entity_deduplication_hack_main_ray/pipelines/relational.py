@@ -1136,3 +1136,180 @@ def supplier_part_revenue(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame
         .to_pandas()
     )
     return out.sort_values("p_type").reset_index(drop=True)
+
+
+def event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT (conditional aggregation): daily event counts, one column per
+    event type.
+
+    Scale shape — aggregate FIRST, reshape LAST: one exchange reduces the
+    fact stream to (day, event_type, n) with per-batch partial counts; the
+    aggregate is tiny at any corpus size (days × types rows), so the pivot
+    itself is a driver-side reshape of an already-small frame. Never pivot
+    pre-aggregation: wide conditional columns through the shuffle move
+    |types| zeros per row. Missing (day, type) combinations fill 0, pivot
+    columns are n_<type> sorted by type name (discovered from the
+    aggregate, not hardcoded)."""
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                "event_type": t["event_type"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    if agg.empty:
+        return typed_empty(day="object")
+    wide = (
+        agg.pivot_table(
+            index="day", columns="event_type", values="n", fill_value=0
+        )
+        .astype("int64")
+        .rename(columns=lambda c: f"n_{c}")
+        .sort_index(axis=1)
+    )
+    wide.columns.name = None
+    return wide.reset_index().sort_values("day").reset_index(drop=True)
+
+
+def customer_region_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP (grouping sets): customer counts + exact acctbal cents at
+    three levels — (region, nation), per-region subtotal, grand total —
+    rolled-up levels carry NULL keys (SQL ROLLUP semantics).
+
+    Scale shape: the nation⋈region dim chain composes driver-side into one
+    broadcast lookup (tiny, ``ray.put`` once); the customer fact stream is
+    pre-reduced per batch to (region, nation) partials, ONE small groupby,
+    and the super-aggregate levels are computed from the finest-level
+    aggregate on the driver — rollup is post-aggregation of an
+    already-small frame, never a second pass over the facts."""
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _t(sf_dir, "region").to_pandas()
+    rname = dict(zip(region["r_regionkey"].to_numpy(), region["r_name"].to_numpy()))
+    lookup = {
+        int(nk): (rname[int(rk)], nn)
+        for nk, nn, rk in zip(
+            nation["n_nationkey"], nation["n_name"], nation["n_regionkey"]
+        )
+    }
+    ref = ray.put(lookup)
+    cust = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "region_name": [lk[int(k)][0] for k in nk],
+                "nation_name": [lk[int(k)][1] for k in nk],
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["region_name", "nation_name"], sort=False).agg(
+            n_partial=("cents", "size"), cents_partial=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    fine = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby(["region_name", "nation_name"])
+        .aggregate(
+            Sum("n_partial", alias_name="n_customers"),
+            Sum("cents_partial", alias_name="acctbal_cents"),
+        )
+        .to_pandas()
+    )
+    fine = ensure_cols(
+        fine, region_name="object", nation_name="object",
+        n_customers="int64", acctbal_cents="int64",
+    )
+    by_region = (
+        fine.groupby("region_name", as_index=False)[
+            ["n_customers", "acctbal_cents"]
+        ].sum().assign(nation_name=None)
+    )
+    total = pd.DataFrame(
+        {
+            "region_name": [None],
+            "nation_name": [None],
+            "n_customers": [fine["n_customers"].sum()],
+            "acctbal_cents": [fine["acctbal_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_region, total], ignore_index=True)[
+        ["region_name", "nation_name", "n_customers", "acctbal_cents"]
+    ]
+    return (
+        out.astype({"n_customers": "int64", "acctbal_cents": "int64"})
+        .sort_values(
+            ["region_name", "nation_name"], na_position="first"
+        )
+        .reset_index(drop=True)
+    )
+
+
+def user_event_lag(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
+    """Analytic window functions (LAG + ROW_NUMBER): per user ordered by
+    (ts, event_id) — microseconds since the user's previous event
+    (``prev_gap_us``, first event −1) and the 1-based event rank (``rn``).
+
+    Physical plan: the sessionization shape — ONE coarse exchange on
+    ``hash(user_id) % P`` co-locates each user's events; the partition
+    kernel is vectorized over ALL its users (one sort, one shifted diff
+    masked at user boundaries, one cumcount) — O(P) group invocations,
+    no per-user Python."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "pkey": pa.array((uid % num_partitions).astype(np.int64)),
+                "event_id": t["event_id"],
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(ts.astype(np.int64)),
+            }
+        )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        gap = np.diff(ts, prepend=ts[:1])
+        prev_gap = np.where(same_user, gap, -1)
+        # 1-based rank within user: cumcount over the sorted runs
+        starts = ~same_user
+        run_id = np.cumsum(starts) - 1
+        idx = np.arange(len(uid))
+        rn = idx - np.where(starts, idx, 0)[starts][run_id] + 1
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "prev_gap_us": prev_gap.astype(np.int64),
+                "rn": rn.astype(np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(window, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(
+        out, event_id="int64", user_id="int64",
+        prev_gap_us="int64", rn="int64",
+    )
+    return out.sort_values("event_id").reset_index(drop=True)

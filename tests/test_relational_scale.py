@@ -169,3 +169,40 @@ def test_approx_user_counts_deterministic(ray_session):
     a = relational.approx_user_counts(SF_DIR)
     b = relational.approx_user_counts(SF_DIR)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_user_event_lag_partition_invariant(ray_session):
+    """The window kernel must be exchange-layout independent: one giant
+    partition (all users together) equals the default 32-way co-partition."""
+    a = relational.user_event_lag(SF_DIR, num_partitions=1)
+    b = relational.user_event_lag(SF_DIR, num_partitions=32)
+    pd.testing.assert_frame_equal(a, b)
+    # spot physics: every user's rank sequence is 1..n with first gap -1
+    first = b.sort_values(["user_id", "rn"]).groupby("user_id").first()
+    assert (first["rn"] == 1).all()
+    assert (first["prev_gap_us"] == -1).all()
+    rest = b[b["rn"] > 1]
+    assert (rest["prev_gap_us"] >= 0).all()
+
+
+def test_event_type_pivot_counts_sum_to_total(ray_session):
+    piv = relational.event_type_pivot(SF_DIR)
+    n_cols = [c for c in piv.columns if c.startswith("n_")]
+    assert len(n_cols) == 5
+    total = int(piv[n_cols].to_numpy().sum())
+    import ray.data
+
+    n_events = ray.data.read_parquet(f"{SF_DIR}/events.parquet").count()
+    assert total == n_events
+
+
+def test_customer_region_rollup_levels_consistent(ray_session):
+    roll = relational.customer_region_rollup(SF_DIR)
+    fine = roll[roll["nation_name"].notna()]
+    sub = roll[roll["nation_name"].isna() & roll["region_name"].notna()]
+    grand = roll[roll["region_name"].isna()]
+    assert len(grand) == 1
+    assert grand["n_customers"].iloc[0] == fine["n_customers"].sum()
+    per_region = fine.groupby("region_name")["acctbal_cents"].sum()
+    for _, row in sub.iterrows():
+        assert row["acctbal_cents"] == per_region[row["region_name"]]
