@@ -43,7 +43,15 @@ CASES = [
     ("ann_ivf_topk", ["query_id", "vec_id", "cos_sim_e6"]),
     ("embedding_near_dup_pairs", ["id_a", "id_b", "cos_sim_e6"]),
     ("text_embed_near_dup_pairs", ["id_a", "id_b", "cos_sim_e6"]),
+    ("user_event_lag", ["event_id", "user_id", "prev_gap_us", "rn"]),
+    # pivot columns are data-dependent: empty input → just the key column
+    ("event_type_pivot", ["day"]),
+    ("audio_frame_features", ["media_id", "frame_idx", "energy_e6",
+                              "centroid_mhz"]),
+    ("video_frame_stats", ["media_id", "frame_idx", "mean_e6"]),
 ]
+# (customer_region_rollup is intentionally absent: SQL ROLLUP semantics
+# yield ONE grand-total row even on empty input — covered by its oracle.)
 
 
 @pytest.mark.parametrize("name,cols", CASES, ids=[c[0] for c in CASES])
