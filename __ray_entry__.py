@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.lsh_bucketed_topk,
         "ann_ivf_topk": ann.ivf_topk,
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        "embedding_near_dup_pairs_exact": ann.embedding_near_dup_pairs_exact,
         "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
         "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
         "image_embed_near_dup_pairs": ann.image_embed_near_dup_pairs,
@@ -381,6 +382,38 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY ts, event_id) AS BIGINT)
                      AS rn
             FROM events
+        """,
+        # embedding_near_dup_pairs_exact: exact all-pairs cosine (the
+        # SQL-verifiable reference for the approximate LSH variant). The
+        # planting CTE replicates _plant_near_dups bit-for-bit: float64
+        # v + 0.05·roll(v) rounded through REAL (float32), like numpy's
+        # astype(float32); measured bit-exact at sf0.001/0.01.
+        "embedding_near_dup_pairs_exact": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ),
+            exp AS (
+              SELECT vec_id, UNNEST(e) AS v, GENERATE_SUBSCRIPTS(e, 1) AS i,
+                     LEN(e) AS d, e
+              FROM base WHERE vec_id % 10 = 0
+            ),
+            planted AS (
+              SELECT vec_id + 1000000000 AS vec_id,
+                     LIST(CAST(CAST(v + 0.05 * e[CASE WHEN i = 1 THEN d
+                                                 ELSE i - 1 END] AS REAL)
+                               AS DOUBLE) ORDER BY i) AS e
+              FROM exp GROUP BY vec_id
+            ),
+            allv AS (
+              SELECT vec_id, e FROM base
+              UNION ALL SELECT vec_id, e FROM planted
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(FLOOR(LIST_COSINE_SIMILARITY(a.e, b.e) * 1000000
+                              + 0.5) AS BIGINT) AS cos_sim_e6
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE CAST(FLOOR(LIST_COSINE_SIMILARITY(a.e, b.e) * 1000000
+                             + 0.5) AS BIGINT) >= 980000
         """,
         # ngram_jaccard_pairs: the oracle is EXACT all-pairs Jaccard over
         # true character-5-shingle sets of lower(text); the engine runs

@@ -351,6 +351,71 @@ def _plant_near_dups(t: pa.Table) -> pa.Table:
     )
 
 
+def embedding_near_dup_pairs_exact(
+    sf_dir: str,
+    threshold: float = 0.98,
+    plant_near_dups: bool = True,
+) -> pd.DataFrame:
+    """EXACT all-pairs cosine near-dup pairs — the SQL-verifiable reference
+    for the approximate LSH variant (``embedding_near_dup_pairs``), same
+    planting, same (id_a, id_b, cos_sim_e6) contract.
+
+    Physical shape: the full (normalized) embedding matrix is pulled to the
+    driver ONCE and broadcast via ``ray.put``; each batch does one tiled
+    matmul against it and emits only ``id_batch < id_ref`` survivors — no
+    shuffle. Exact all-pairs is inherently O(n²) with a resident reference
+    matrix, so this is the SMALL-TABLE baseline (embeddings tables up to
+    ~10⁶ rows × 128 dims ≈ 1 GB broadcast); the LSH/IVF family is the
+    10⁹-vector scale path. The DuckDB oracle replicates the planting
+    arithmetic bit-for-bit (float64 ops + float32 round-trip)."""
+    ds = _emb(sf_dir)
+    if plant_near_dups:
+        ds = ds.map_batches(_plant_near_dups, batch_format="pyarrow")
+    ref_rows = ds.to_pandas()  # the documented one-time small-table pull
+    if ref_rows.empty:
+        return typed_empty(id_a="int64", id_b="int64", cos_sim_e6="int64")
+    ref_ids = ref_rows["vec_id"].to_numpy().astype(np.int64)
+    R = _stack(ref_rows["embedding"])
+    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    ref = ray.put((ref_ids, Rn))
+    thr_e6 = int(np.floor(threshold * 1e6 + 0.5))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cos_sim_e6": pa.array([], pa.int64()),
+                }
+            )
+        ids_r, Rn_ = ray.get(ref)
+        V = _stack(t["embedding"])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_out, b_out, s_out = [], [], []
+        tile = 2048
+        for s in range(0, len(vid), tile):
+            sims_e6 = _e6(Vn[s : s + tile] @ Rn_.T)
+            ii, jj = np.nonzero(sims_e6 >= thr_e6)
+            keep = vid[ii + s] < ids_r[jj]  # strict order ⇒ exactly once
+            ii, jj = ii[keep], jj[keep]
+            a_out.append(vid[ii + s])
+            b_out.append(ids_r[jj])
+            s_out.append(sims_e6[ii, jj])
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "id_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "cos_sim_e6": pa.array(np.concatenate(s_out), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    out = ensure_cols(out, id_a="int64", id_b="int64", cos_sim_e6="int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(
     sf_dir: str,
     threshold: float = 0.98,

@@ -466,3 +466,24 @@ def test_image_embed_near_dup_pairs_matches_reference(ray_session):
             assert (a, b) in pair_set
             checked += 1
     assert checked > 0
+
+
+def test_embedding_near_dup_exact_superset_of_lsh(ray_session):
+    """The exact all-pairs query is the reference for the LSH variant:
+    every LSH-found pair must appear in the exact result with the SAME
+    cos_sim_e6, and the exact result is non-vacuous (planted pairs)."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = embedding_near_dup_pairs_exact(sf)
+    lsh = embedding_near_dup_pairs(sf)
+    assert len(exact) > 0
+    ex = {(a, b): s for a, b, s in exact.itertuples(index=False)}
+    for a, b, s in lsh.itertuples(index=False):
+        assert ex.get((a, b)) == s, (a, b)
+    # and the planted pairs are exactly the (v, v+1e9) couples at the top
+    planted = exact[exact["id_b"] == exact["id_a"] + 1_000_000_000]
+    assert len(planted) == (exact["id_a"] % 10 == 0).sum() > 0
