@@ -221,6 +221,7 @@ def near_dup_pairs_dataset(
     n_planes: int = 12,
     seed: int = 42,
     center: bool = False,
+    max_bucket: int | None = None,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs over any (vec_id int64,
     embedding list<float>) Dataset, fully distributed: hyperplane LSH
@@ -230,8 +231,15 @@ def near_dup_pairs_dataset(
     every pair is generated exactly once — no dedup exchange.
 
     Returns (id_a, id_b, cos_sim_e6). Partitioning assumption: bucket sizes
-    stay ≪ corpus (12 planes → 4096 buckets; skewed corpora need more planes
-    or a second-level split — bucket population is the knob, not the driver).
+    stay ≪ corpus (12 planes → 4096 buckets). ``max_bucket`` is the
+    explicit skew policy for corpora that violate it: a bucket over the
+    cap RECURSIVELY sub-splits on level-seeded extra hyperplanes (pairs
+    then enumerate within sub-buckets only — bounded O(max_bucket·n)
+    instead of O(n²)); a subgroup that cannot split (identical sign
+    pattern, e.g. duplicated vectors) and still exceeds the cap falls back
+    to STAR pairs against its min-id row — connectivity-lossless for
+    clustering consumers — with the skipped pair count logged. Default
+    ``None`` keeps exact within-bucket all-pairs.
 
     ``center=True`` subtracts a driver-sample mean before the hyperplane
     signs (bucket assignment ONLY — the verified cosine stays on the raw
@@ -264,10 +272,30 @@ def near_dup_pairs_dataset(
             np.pad(sig, ((0, 0), (0, (-sig.shape[1]) % 8))),
             axis=1, bitorder="little",
         )
-        bucket = packed[:, :2].astype(np.int64) @ np.array([1, 256])
+        cols = packed[:, :2]  # ≤ 16 bucket bits; works for ANY n_planes
+        bucket = cols.astype(np.int64) @ (
+            256 ** np.arange(cols.shape[1], dtype=np.int64)
+        )
         return t.append_column("bucket", pa.array(bucket, pa.int64()))
 
     thr_e6 = int(np.floor(threshold * 1e6 + 0.5))
+    _MAX_SPLIT_DEPTH = 16
+
+    def _emit_all_pairs(Vn, ids, rows, a_out, b_out, s_out):
+        """Exact cos ≥ thr pairs within ``rows`` (tiled; min-id first)."""
+        sub = Vn[rows]
+        sid = ids[rows]
+        tile = 2048  # bound the (m×m) similarity block to tile×m
+        for s in range(0, len(rows), tile):
+            sims_e6 = _e6(sub[s : s + tile] @ sub.T)
+            ii, jj = np.nonzero(sims_e6 >= thr_e6)
+            keep = (ii + s) < jj  # strict upper triangle in local indices
+            ii, jj = ii[keep], jj[keep]
+            ga, gb = sid[ii + s], sid[jj]
+            lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+            a_out.append(lo)
+            b_out.append(hi)
+            s_out.append(sims_e6[ii, jj])
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         n = g.num_rows
@@ -283,18 +311,58 @@ def near_dup_pairs_dataset(
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         ids = g["vec_id"].to_numpy(zero_copy_only=False)
         a_out, b_out, s_out = [], [], []
-        tile = 2048  # bound the (n×n) similarity block to tile×n
-        for s in range(0, n, tile):
-            block = Vn[s : s + tile] @ Vn.T
-            sims_e6 = _e6(block)
-            ii, jj = np.nonzero(sims_e6 >= thr_e6)
-            keep = (ii + s) < jj  # strict upper triangle in global indices
-            ii, jj = ii[keep], jj[keep]
-            ga, gb = ids[ii + s], ids[jj]
+        n_star_groups = 0
+        n_pairs_skipped = 0
+        stack = [(np.arange(n), 0)]
+        while stack:
+            rows, level = stack.pop()
+            m = len(rows)
+            if m < 2:
+                continue
+            if max_bucket is None or m <= max_bucket:
+                _emit_all_pairs(Vn, ids, rows, a_out, b_out, s_out)
+                continue
+            if level < _MAX_SPLIT_DEPTH:
+                # level-seeded extra hyperplanes: same planes for every
+                # bucket/batch at a given level → deterministic layout
+                sub_rng = np.random.default_rng((seed, 1 + level))
+                extra = sub_rng.standard_normal((Vn.shape[1], 4))
+                code = (Vn[rows] @ extra > 0) @ (1 << np.arange(4))
+                parts = [rows[code == c] for c in np.unique(code)]
+                if len(parts) > 1:
+                    stack.extend((p, level + 1) for p in parts)
+                    continue
+            # unsplittable over-cap group (identical sign patterns, e.g.
+            # duplicated vectors): star pairs to the min-id row keep the
+            # component connected; enumerate nothing quadratic
+            n_star_groups += 1
+            root = rows[np.argmin(ids[rows])]
+            others = rows[rows != root]
+            sims_e6 = _e6(Vn[others] @ Vn[root])
+            keep = sims_e6 >= thr_e6
+            ga, gb = ids[others][keep], np.full(int(keep.sum()), ids[root])
             lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
             a_out.append(lo)
             b_out.append(hi)
-            s_out.append(sims_e6[ii, jj])
+            s_out.append(sims_e6[keep])
+            n_pairs_skipped += m * (m - 1) // 2 - len(others)
+        if n_star_groups:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "near_dup_pairs: %d unsplittable hot group(s) over "
+                "max_bucket=%s emitted STAR pairs — %d within-group pairs "
+                "not enumerated (connectivity preserved)",
+                n_star_groups, max_bucket, n_pairs_skipped,
+            )
+        if not a_out:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cos_sim_e6": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
                 "id_a": pa.array(np.concatenate(a_out), pa.int64()),

@@ -487,3 +487,75 @@ def test_embedding_near_dup_exact_superset_of_lsh(ray_session):
     # and the planted pairs are exactly the (v, v+1e9) couples at the top
     planted = exact[exact["id_b"] == exact["id_a"] + 1_000_000_000]
     assert len(planted) == (exact["id_a"] % 10 == 0).sum() > 0
+
+
+def _vec_ds(ids, V):
+    import pyarrow as pa
+    import ray.data
+
+    dim = V.shape[1]
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(V.astype("float32").ravel(), pa.float32()), dim
+    )
+    return ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": emb})
+    )
+
+
+def test_near_dup_max_bucket_noop_when_buckets_small(ray_session):
+    """With the cap far above any real bucket the policy must be inert."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        embedding_near_dup_pairs,
+        near_dup_pairs_dataset,
+        _emb,
+        _plant_near_dups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = embedding_near_dup_pairs(sf)
+    ds = _emb(sf).map_batches(_plant_near_dups, batch_format="pyarrow")
+    capped = near_dup_pairs_dataset(ds, 0.98, 12, 42, max_bucket=10_000)
+    pd.testing.assert_frame_equal(base, capped)
+
+
+def test_near_dup_hot_bucket_star_fallback(ray_session):
+    """5000 duplicated vectors land in ONE bucket with ONE sign pattern:
+    the cap must refuse the 12.5M-pair enumeration and emit n-1 star pairs
+    (connectivity-lossless), at cos 1.0."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        near_dup_pairs_dataset,
+    )
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(32)
+    V = np.tile(v, (5000, 1))
+    out = near_dup_pairs_dataset(
+        _vec_ds(np.arange(5000), V), 0.98, 12, 42, max_bucket=64
+    )
+    assert len(out) == 4999
+    assert (out["id_a"] == 0).all()  # star root = min id
+    assert (out["cos_sim_e6"] == 1_000_000).all()
+    assert sorted(out["id_b"]) == list(range(1, 5000))
+
+
+def test_near_dup_hot_bucket_split_path_bounded(ray_session):
+    """A spread cloud forced through one coarse bucket must SPLIT (not
+    star): with 2 planes everything collides, the cap sub-splits, and the
+    planted duplicate pairs survive because near-identical vectors share
+    every sub-split sign."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        near_dup_pairs_dataset,
+    )
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((2000, 32))
+    dup = base[:200] + 1e-6 * rng.standard_normal((200, 32))
+    V = np.vstack([base, dup])
+    ids = np.arange(len(V))
+    out = near_dup_pairs_dataset(
+        _vec_ds(ids, V), 0.999, 2, 42, max_bucket=256
+    )
+    found = set(zip(out["id_a"], out["id_b"]))
+    planted = {(i, 2000 + i) for i in range(200)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, recall
