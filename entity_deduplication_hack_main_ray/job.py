@@ -86,6 +86,11 @@ def run_job(args: argparse.Namespace) -> dict:
     )
     edges_path = os.path.join(args.out, "edges")
     clusters_path = os.path.join(args.out, "clusters")
+    # pin both before write: edges is already materialized (or parquet-
+    # checkpointed) by dedup_pipeline, but clusters is lazy on the
+    # no-ckpt path — without this the count() below would re-execute the
+    # whole corpus-wide assignment DAG a second time
+    clusters = clusters.materialize()
     edges.write_parquet(edges_path)
     t_edges = time.monotonic()
     clusters.write_parquet(clusters_path)

@@ -235,11 +235,13 @@ def near_dup_pairs_dataset(
     explicit skew policy for corpora that violate it: a bucket over the
     cap RECURSIVELY sub-splits on level-seeded extra hyperplanes (pairs
     then enumerate within sub-buckets only — bounded O(max_bucket·n)
-    instead of O(n²)); a subgroup that cannot split (identical sign
-    pattern, e.g. duplicated vectors) and still exceeds the cap falls back
-    to STAR pairs against its min-id row — connectivity-lossless for
-    clustering consumers — with the skipped pair count logged. Default
-    ``None`` keeps exact within-bucket all-pairs.
+    instead of O(n²)); a subgroup no level's planes can split (identical
+    sign patterns, e.g. duplicated vectors) that still exceeds the cap
+    falls back to STAR pairs against its min-id row — lossless for
+    duplicate groups (every member matches the root at cos ≈ 1); members
+    below threshold against the root lose their mutual pairs, and the
+    skipped pair count is logged. Default ``None`` keeps exact
+    within-bucket all-pairs.
 
     ``center=True`` subtracts a driver-sample mean before the hyperplane
     signs (bucket assignment ONLY — the verified cosine stays on the raw
@@ -324,17 +326,27 @@ def near_dup_pairs_dataset(
                 continue
             if level < _MAX_SPLIT_DEPTH:
                 # level-seeded extra hyperplanes: same planes for every
-                # bucket/batch at a given level → deterministic layout
+                # bucket/batch at a given level → deterministic layout.
+                # Split in the SAME geometry as the top-level bucketing
+                # (centered when center=True — un-centered planes cannot
+                # split a cone-concentrated family).
                 sub_rng = np.random.default_rng((seed, 1 + level))
                 extra = sub_rng.standard_normal((Vn.shape[1], 4))
-                code = (Vn[rows] @ extra > 0) @ (1 << np.arange(4))
+                S = Vn[rows]
+                if mean_ref is not None:
+                    S = S - ray.get(mean_ref)
+                code = (S @ extra > 0) @ (1 << np.arange(4))
                 parts = [rows[code == c] for c in np.unique(code)]
                 if len(parts) > 1:
                     stack.extend((p, level + 1) for p in parts)
-                    continue
-            # unsplittable over-cap group (identical sign patterns, e.g.
-            # duplicated vectors): star pairs to the min-id row keep the
-            # component connected; enumerate nothing quadratic
+                else:
+                    # this level's planes failed — RETRY with the next
+                    # level's (different) planes before giving up
+                    stack.append((rows, level + 1))
+                continue
+            # unsplittable after every level (identical sign patterns,
+            # i.e. duplicated/indistinguishable vectors): star pairs to
+            # the min-id row; enumerate nothing quadratic
             n_star_groups += 1
             root = rows[np.argmin(ids[rows])]
             others = rows[rows != root]
@@ -345,14 +357,17 @@ def near_dup_pairs_dataset(
             a_out.append(lo)
             b_out.append(hi)
             s_out.append(sims_e6[keep])
-            n_pairs_skipped += m * (m - 1) // 2 - len(others)
+            # honest accounting: only keep.sum() edges were EMITTED; every
+            # other within-group pair went unenumerated
+            n_pairs_skipped += m * (m - 1) // 2 - int(keep.sum())
         if n_star_groups:
             import logging
 
             logging.getLogger(__name__).warning(
                 "near_dup_pairs: %d unsplittable hot group(s) over "
-                "max_bucket=%s emitted STAR pairs — %d within-group pairs "
-                "not enumerated (connectivity preserved)",
+                "max_bucket=%s fell back to STAR edges — %d within-group "
+                "pairs not enumerated (connectivity preserved only where "
+                "members match the min-id root at >= threshold)",
                 n_star_groups, max_bucket, n_pairs_skipped,
             )
         if not a_out:

@@ -71,7 +71,10 @@ class AudioDecodeStats:
             ns.append(n)
             durs.append(int(round(n * 1000 / sr)) if sr else 0)
             rms.append(_e6(float(np.sqrt(np.mean(mono * mono))) if n else 0.0))
-            peaks.append(int(np.max(np.abs(s))) if n else 0)
+            # abs in int32: np.abs(int16(-32768)) wraps back to -32768
+            peaks.append(
+                int(np.max(np.abs(s.astype(np.int32)))) if n else 0
+            )
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
@@ -193,6 +196,10 @@ class AudioResample:
                 ok.append(False)
                 continue
             mono = _mono_f64(s)
+            if len(mono) == 0 or sr <= 0:  # valid-but-degenerate WAV:
+                out_blobs.append(b"")      # ok=False, never crash the batch
+                ok.append(False)
+                continue
             n_out = max(1, int(round(len(mono) * self.target_sr / sr)))
             t_in = np.arange(len(mono)) / sr
             t_out = np.arange(n_out) / self.target_sr
@@ -274,7 +281,7 @@ def audio_frame_features(
     features. Exercises encode → decode → window/FFT end-to-end; the pytest
     pins the physics (a clip's dominant-tone frequency bounds its centroid).
     Returns (media_id, frame_idx, energy_e6, centroid_mhz)."""
-    import pandas as pd
+    from ..functions.frames import typed_empty
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
@@ -282,12 +289,8 @@ def audio_frame_features(
     clips = docs.map_batches(synth_audio_batch, batch_format="pyarrow")
     out = audio_features_pipeline(clips, frame_len, hop).to_pandas()
     if out.empty:
-        return pd.DataFrame(
-            {
-                "media_id": pd.Series(dtype="object"),
-                "frame_idx": pd.Series(dtype="int32"),
-                "energy_e6": pd.Series(dtype="int64"),
-                "centroid_mhz": pd.Series(dtype="int64"),
-            }
+        return typed_empty(
+            media_id="object", frame_idx="int32",
+            energy_e6="int64", centroid_mhz="int64",
         )
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)

@@ -257,9 +257,8 @@ def video_frame_stats(sf_dir: str, every_n_frames: int = 2):
     full video chain (encode_fake_video → VideoFrameSample → decode_png)
     under Ray; the pytest pins the per-doc brightness ramp. Returns
     (media_id, frame_idx, mean_e6)."""
-    import pandas as pd
-
     from ..functions.codecs import decode_png
+    from ..functions.frames import typed_empty
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
@@ -282,12 +281,8 @@ def video_frame_stats(sf_dir: str, every_n_frames: int = 2):
 
     out = frames.map_batches(frame_mean, batch_format="pyarrow").to_pandas()
     if out.empty:
-        return pd.DataFrame(
-            {
-                "media_id": pd.Series(dtype="object"),
-                "frame_idx": pd.Series(dtype="int32"),
-                "mean_e6": pd.Series(dtype="int64"),
-            }
+        return typed_empty(
+            media_id="object", frame_idx="int32", mean_e6="int64"
         )
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 

@@ -144,3 +144,21 @@ def test_synth_batch_layout_independent():
     ]
     for i in range(3):
         assert whole["bytes"][i] == split[i]["bytes"][0]
+
+
+def test_resample_degenerate_wav_null_tolerant():
+    # zero-sample WAV is spec-valid: must yield ok=False, not crash
+    empty_wav = encode_wav(np.array([], dtype=np.int16), SR)
+    out = AudioResample(target_sr=4000)(
+        _clips_table([("e", empty_wav, "wav"), ("a", encode_wav(_tone(440), SR), "wav")])
+    ).to_pydict()
+    assert out["ok"] == [False, True]
+
+
+def test_decode_stats_full_scale_negative_peak():
+    # np.abs(int16(-32768)) wraps negative; the stage must report +32768
+    s = np.full(100, -32768, dtype=np.int16)
+    out = AudioDecodeStats()(
+        _clips_table([("p", encode_wav(s, SR), "wav")])
+    ).to_pydict()
+    assert out["peak"][0] == 32768

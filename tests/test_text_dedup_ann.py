@@ -559,3 +559,27 @@ def test_near_dup_hot_bucket_split_path_bounded(ray_session):
     planted = {(i, 2000 + i) for i in range(200)}
     recall = len(found & planted) / len(planted)
     assert recall >= 0.95, recall
+
+
+def test_near_dup_hot_bucket_centered_cone_splits(ray_session):
+    """Cone-concentrated family with center=True: the sub-split must use
+    the CENTERED geometry (un-centered planes cannot split a cone) and
+    retry across levels — planted dup pairs survive instead of the group
+    degrading to star pairs."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        near_dup_pairs_dataset,
+    )
+
+    rng = np.random.default_rng(7)
+    mean = np.full(32, 10.0)
+    base = mean + 0.05 * rng.standard_normal((1500, 32))
+    dup = base[:150] + 1e-7 * rng.standard_normal((150, 32))
+    V = np.vstack([base, dup])
+    out = near_dup_pairs_dataset(
+        _vec_ds(np.arange(len(V)), V), 0.9999999, 12, 42,
+        center=True, max_bucket=128,
+    )
+    found = set(zip(out["id_a"], out["id_b"]))
+    planted = {(i, 1500 + i) for i in range(150)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.95, recall
