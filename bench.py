@@ -9,7 +9,9 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
      "images_per_sec": R}
 
 ``--scaling`` mode: run the headline image-dedup pipeline twice in FRESH
-subprocesses at num_cpus=8 and num_cpus=32 on the same (pre-generated,
+subprocesses at two parallelism levels (default N=2 vs 4N=8 CPUs — the
+widest window this host's deliverable parallelism covers, see the probe in
+BASELINE.md; override via GRAFT_SCALING_LO/HI) on the same (pre-generated,
 page-cache-warmed) input and report both throughputs + scaling efficiency —
 the sandbox stand-in for the N-vs-4N-node cluster criterion (BASELINE.md).
 """
