@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write the verified matches as enriched JSON lines "
         "(both captions + parsed field maps) for human inspection",
     )
+    p.add_argument(
+        "--grow-from", default=None, metavar="BASE_CKPT",
+        help="incremental ingestion: treat --corpus as a NEW shard and "
+        "grow the deduped corpus whose base run checkpointed to "
+        "BASE_CKPT (old pairs never re-verified); with --ckpt the growth "
+        "is chainable (next day's --grow-from points here)",
+    )
     return p
 
 
@@ -77,13 +84,24 @@ def run_job(args: argparse.Namespace) -> dict:
     cfg = PipelineConfig(**overrides)
 
     t0 = time.monotonic()
-    edges, clusters = dedup_pipeline(
-        args.corpus,
-        cfg,
-        ckpt_dir=args.ckpt,
-        with_bytes=args.with_bytes,
-        num_partitions=args.partitions,
-    )
+    if args.grow_from:
+        from .pipelines.incremental import incremental_dedup_pipeline
+
+        edges, clusters = incremental_dedup_pipeline(
+            args.grow_from,
+            args.corpus,
+            cfg,
+            num_partitions=args.partitions,
+            ckpt_dir=args.ckpt,
+        )
+    else:
+        edges, clusters = dedup_pipeline(
+            args.corpus,
+            cfg,
+            ckpt_dir=args.ckpt,
+            with_bytes=args.with_bytes,
+            num_partitions=args.partitions,
+        )
     edges_path = os.path.join(args.out, "edges")
     clusters_path = os.path.join(args.out, "clusters")
     # pin both before write: edges is already materialized (or parquet-
@@ -109,7 +127,23 @@ def run_job(args: argparse.Namespace) -> dict:
         "rows_per_s": round(n_rows / max(t_done - t0, 1e-9), 1),
         "outputs": {"edges": edges_path, "clusters": clusters_path},
         "resumable": args.ckpt is not None,
+        "mode": "grow" if args.grow_from else "base",
     }
+    if args.ckpt:
+        # per-stage lineage from the checkpoint manifests (rows, wall,
+        # throughput) — the north_rule's per-partition metrics surfaced in
+        # one place
+        stages = {}
+        for stage in sorted(os.listdir(args.ckpt)):
+            mf = os.path.join(args.ckpt, stage, "_manifest.json")
+            if os.path.isfile(mf):
+                with open(mf) as f:
+                    sm = json.load(f)
+                stages[stage] = {
+                    k: sm.get(k)
+                    for k in ("rows", "wall_sec", "rows_per_sec", "complete")
+                }
+        manifest["stages"] = stages
     if args.matches_json:
         import pyarrow.compute as pc
 

@@ -45,6 +45,41 @@ def test_job_end_to_end(ray_session, tiny_corpus, tmp_path):
     assert {"id_a", "id_b", "caption_a", "fields_a"} <= set(row)
 
 
+def test_job_grow_from_cli(ray_session, tmp_path):
+    """--grow-from drives incremental ingestion from the job CLI and the
+    manifest surfaces per-stage lineage from the checkpoint manifests."""
+    from entity_deduplication_hack_main_ray.pipelines.corpus_dedup import (
+        corpus_for_sf,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.incremental import (
+        split_corpus,
+    )
+
+    corpus_dir, _ = corpus_for_sf("/root/testdata/sf0.001")
+    base_dir, grow_dir, _work = split_corpus(corpus_dir)
+    base_ckpt = str(tmp_path / "base_ckpt")
+    m_base = run_job(_args(base_dir, str(tmp_path / "base"), ckpt=base_ckpt))
+    assert m_base["mode"] == "base"
+    # stage lineage present and populated when --ckpt is given
+    assert m_base["stages"], "expected per-stage lineage in manifest"
+    assert any(s.get("rows") for s in m_base["stages"].values())
+
+    grow_ckpt = str(tmp_path / "grow_ckpt")
+    m_grow = run_job(
+        _args(grow_dir, str(tmp_path / "grow"),
+              grow_from=base_ckpt, ckpt=grow_ckpt)
+    )
+    assert m_grow["mode"] == "grow"
+    # combined clustering covers base + growth ids
+    clusters = pd.read_parquet(m_grow["outputs"]["clusters"])
+    assert m_grow["rows"] == len(clusters)
+    base_rows = pd.read_parquet(m_base["outputs"]["clusters"])
+    assert len(clusters) > len(base_rows)
+    # growth checkpoint is chainable: base-run-shaped stages exist
+    assert os.path.isdir(os.path.join(grow_ckpt, "signatures"))
+    assert os.path.isdir(os.path.join(grow_ckpt, "clusters"))
+
+
 def test_job_resume_from_checkpoint(ray_session, tiny_corpus, tmp_path):
     corpus_dir, _ = tiny_corpus
     ckpt = str(tmp_path / "ckpt")
