@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.doc_quality,
         "lang_distribution": text_analysis.lang_distribution,
         "doc_fingerprints": text_analysis.doc_fingerprints,
+        "gopher_repetition": text_analysis.gopher_repetition,
+        "repeated_passages": text_analysis.repeated_passages,
         # ---- multimodal: audio + video legs (deterministic synth clip per
         # doc → actor-pool stages; encode→decode→analysis end-to-end,
         # value-pinned pytests)
@@ -326,6 +328,65 @@ def oracle_sql() -> dict[str, str]:
                                 * 1000000 + 0.5) AS BIGINT)
                    END AS mean_word_len_e6
             FROM documents
+        """,
+        # gopher_repetition / repeated_passages: word boundary is a SINGLE
+        # space on both sides (string_split vs pc.split_pattern), and every
+        # ratio uses the shared floor(x*1e6+0.5) integer contract.
+        "gopher_repetition": """
+            WITH w AS (SELECT doc_id,
+                              UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS word
+                       FROM documents),
+            wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+            agg AS (SELECT doc_id,
+                           CAST(SUM(c) AS BIGINT) AS n_words,
+                           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                           CAST(MAX(c) AS BIGINT) AS top_word_n
+                    FROM wc GROUP BY 1),
+            t2 AS (SELECT doc_id, STRING_SPLIT(COALESCE(text, ''), ' ') AS ws
+                   FROM documents),
+            bg AS (SELECT doc_id,
+                          UNNEST([ws[i] || ' ' || ws[i + 1]
+                                  FOR i IN GENERATE_SERIES(1, LEN(ws) - 1)]) AS b
+                   FROM t2),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            bagg AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+                     FROM bc GROUP BY 1),
+            m AS (SELECT a.doc_id, n_words, n_distinct_words, top_word_n,
+                         COALESCE(top_bigram_n, 0) AS top_bigram_n,
+                         CAST(FLOOR(CAST(n_words - n_distinct_words AS DOUBLE)
+                              / n_words * 1000000 + 0.5) AS BIGINT)
+                             AS dup_word_frac_e6,
+                         CAST(FLOOR(CAST(top_word_n AS DOUBLE)
+                              / n_words * 1000000 + 0.5) AS BIGINT)
+                             AS top_word_frac_e6,
+                         CASE WHEN n_words <= 1 THEN 0 ELSE
+                           CAST(FLOOR(CAST(COALESCE(top_bigram_n, 0) AS DOUBLE)
+                                / (n_words - 1) * 1000000 + 0.5) AS BIGINT)
+                         END AS top_bigram_frac_e6
+                  FROM agg a LEFT JOIN bagg b USING (doc_id))
+            SELECT *,
+                   CAST(n_words >= 20 AND dup_word_frac_e6 <= 550000
+                        AND top_word_frac_e6 <= 200000
+                        AND top_bigram_frac_e6 <= 120000 AS BIGINT) AS keep
+            FROM m
+        """,
+        "repeated_passages": """
+            WITH t AS (SELECT doc_id, STRING_SPLIT(COALESCE(text, ''), ' ') AS ws
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id, sg FROM (
+                     SELECT doc_id,
+                            UNNEST([ARRAY_TO_STRING(ws[i : i + 7], ' ')
+                                    FOR i IN GENERATE_SERIES(1, LEN(ws) - 7)]) AS sg
+                     FROM t)),
+            cnt AS (SELECT sg, COUNT(*) AS nd FROM sh GROUP BY 1),
+            per AS (SELECT s.doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                           CAST(COUNT(*) FILTER (c.nd >= 2) AS BIGINT) AS n_shared
+                    FROM sh s JOIN cnt c USING (sg) GROUP BY 1)
+            SELECT doc_id, n_shingles, n_shared,
+                   CAST(FLOOR(CAST(n_shared AS DOUBLE) / n_shingles
+                        * 1000000 + 0.5) AS BIGINT) AS shared_frac_e6
+            FROM per
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text

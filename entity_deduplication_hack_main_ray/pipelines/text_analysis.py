@@ -125,6 +125,200 @@ def lang_distribution(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang_guess").reset_index(drop=True)
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 §A.1.1, adapted to
+# the fixture's word-salad distribution so the keep flag is non-vacuous:
+# dup-word fraction spans 0–0.72 and top-bigram 0.01–0.17 at sf0.01).
+GOPHER_MIN_WORDS = 20
+GOPHER_DUP_WORD_E6 = 550_000  # reject > 55% repeated word mass
+GOPHER_TOP_WORD_E6 = 200_000  # reject if one word is > 20% of the doc
+GOPHER_TOP_BIGRAM_E6 = 120_000  # reject if one bigram is > 12% of bigrams
+
+
+def _word_splits(
+    t: pa.Table,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(parent_doc_index, word_codes, words_per_doc, vocabulary) for a batch
+    — ONE Arrow split + ONE factorize; no per-row Python. Splitting on a
+    single space (not ``\\S+``) is the contract shared with DuckDB
+    ``string_split``."""
+    wl = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+    if isinstance(wl, pa.ChunkedArray):
+        wl = wl.combine_chunks()
+    parent = pc.list_parent_indices(wl).to_numpy(zero_copy_only=False)
+    nw = pc.list_value_length(wl).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = wl.flatten().to_numpy(zero_copy_only=False)
+    codes, uniq = pd.factorize(flat)
+    return parent.astype(np.int64), codes.astype(np.int64), nw, uniq
+
+
+def _run_counts(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(first_index_of_each_run, run_length) after lexsorting the key tuple.
+    Overflow-free group counting (no key packing), all numpy."""
+    order = np.lexsort(keys[::-1])
+    sorted_keys = [k[order] for k in keys]
+    n = len(order)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in sorted_keys:
+        new[1:] |= k[1:] != k[:-1]
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, n))
+    return order[starts], counts
+
+
+def _repetition_batch(t: pa.Table) -> pa.Table:
+    """Vectorized Gopher repetition features for one batch: word/bigram
+    duplication via lexsort run-length counting (C-speed, no Python rows)."""
+    parent, codes, nw, _uniq = _word_splits(t)
+    n_docs = len(nw)
+    # distinct words + most-frequent word per doc
+    firsts, counts = _run_counts(parent, codes)
+    doc_of = parent[firsts] if len(firsts) else np.empty(0, np.int64)
+    n_distinct = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+    top_word = np.zeros(n_docs, np.int64)
+    np.maximum.at(top_word, doc_of, counts)
+    # bigrams: adjacent positions within the same doc
+    same = parent[:-1] == parent[1:] if len(parent) > 1 else np.empty(0, bool)
+    bp = parent[:-1][same]
+    bfirsts, bcounts = _run_counts(bp, codes[:-1][same], codes[1:][same])
+    top_bigram = np.zeros(n_docs, np.int64)
+    np.maximum.at(top_bigram, bp[bfirsts] if len(bfirsts) else bfirsts, bcounts)
+    nb = np.maximum(nw - 1, 0)
+    dup_e6 = _e6_ratio(nw - n_distinct, nw)
+    topw_e6 = _e6_ratio(top_word, nw)
+    topb_e6 = _e6_ratio(top_bigram, nb)
+    keep = (
+        (nw >= GOPHER_MIN_WORDS)
+        & (dup_e6 <= GOPHER_DUP_WORD_E6)
+        & (topw_e6 <= GOPHER_TOP_WORD_E6)
+        & (topb_e6 <= GOPHER_TOP_BIGRAM_E6)
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(nw),
+            "n_distinct_words": pa.array(n_distinct),
+            "top_word_n": pa.array(top_word),
+            "top_bigram_n": pa.array(top_bigram),
+            "dup_word_frac_e6": pa.array(dup_e6),
+            "top_word_frac_e6": pa.array(topw_e6),
+            "top_bigram_frac_e6": pa.array(topb_e6),
+            "keep": pa.array(keep.astype(np.int64)),
+        }
+    )
+
+
+def gopher_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021, "Scaling
+    Language Models" §A.1.1): per-document duplicate-word fraction, top-word
+    and top-bigram concentration, and an integer keep flag. Embarrassingly
+    parallel — one task-pool ``map_batches``, no exchange; every count is an
+    integer and every ratio uses the shared ``_e6_ratio`` contract, so the
+    DuckDB oracle hash-matches exactly."""
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_repetition_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = ensure_cols(
+        out, doc_id="int64", n_words="int64", n_distinct_words="int64",
+        top_word_n="int64", top_bigram_n="int64", dup_word_frac_e6="int64",
+        top_word_frac_e6="int64", top_bigram_frac_e6="int64", keep="int64",
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SHINGLE_B = np.uint64(1099511628211)  # FNV prime as polynomial base
+
+
+def _passage_rows(t: pa.Table, n: int, P: int) -> pa.Table:
+    """Distinct (shingle_hash, doc_id) rows for one batch. Word hashes come
+    from ``pd.util.hash_array`` over the batch VOCABULARY (O(vocab), fully
+    vectorized siphash); the n-word window combines them with a polynomial
+    rolling product — n numpy ops per batch, no per-shingle Python. Only the
+    16-byte hash row crosses the exchange, never the passage text (the
+    100 TB shape; 64-bit collisions merge two shingles with p ≈ m²/2⁶⁴)."""
+    from ..functions.hashing import splitmix64
+
+    parent, codes, _nw, uniq = _word_splits(t)
+    # hash each distinct word string once (vocab ≪ words)
+    vocab_hash = pd.util.hash_array(np.asarray(uniq, dtype=object),
+                                    categorize=False)
+    h0 = vocab_hash[codes]
+    L = len(h0) - n + 1
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if L <= 0:
+        return pa.table(
+            {"h": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+             "pkey": pa.array([], pa.int64())}
+        )
+    with np.errstate(over="ignore"):
+        acc = h0[:L].copy()
+        for j in range(1, n):
+            acc = acc * _SHINGLE_B + h0[j : j + L]
+        valid = parent[:L] == parent[n - 1 :]
+        sh = splitmix64(acc[valid])
+    sdoc = parent[:L][valid]
+    # distinct per doc
+    firsts, _counts = _run_counts(sdoc, sh.view(np.int64))
+    return pa.table(
+        {
+            "h": pa.array(sh.view(np.int64)[firsts]),
+            "doc_id": pa.array(doc_ids[sdoc[firsts]]),
+            "pkey": pa.array((sh[firsts] % np.uint64(P)).astype(np.int64)),
+        }
+    )
+
+
+def repeated_passages(
+    sf_dir: str, n: int = 8, num_partitions: int = 32
+) -> pd.DataFrame:
+    """Cross-document repeated-passage statistics (the span-granularity
+    dedup signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at word-``n``-gram granularity): per document,
+    how many of its distinct ``n``-word passages also occur in at least one
+    OTHER document.
+
+    Physical plan: per-batch distinct (shingle_hash, doc_id) rows → ONE
+    coarse ``groupby(pkey)`` exchange on hash%P, where each of the P
+    partition kernels holds every row of its shingles and computes per-doc
+    partial (n_shingles, n_shared) vectorized → one tiny
+    ``groupby(doc_id)`` sum over O(docs × P) partial rows. No joins, no
+    per-key ``map_groups``, and passage text never leaves the mapper.
+    Documents with fewer than ``n`` words emit no shingles and are absent
+    from the output (the oracle's inner join drops them identically).
+    """
+    P = num_partitions
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h")["doc_id"].transform("size")  # rows are distinct
+        return (
+            g.assign(shared=(nd >= 2).astype(np.int64))
+            .groupby("doc_id", as_index=False)
+            .agg(n_shingles_p=("h", "size"), n_shared_p=("shared", "sum"))
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(lambda t: _passage_rows(t, n, P), batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(part, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_shingles_p", alias_name="n_shingles"),
+            Sum("n_shared_p", alias_name="n_shared"),
+        )
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", n_shingles="int64", n_shared="int64")
+    out["shared_frac_e6"] = _e6_ratio(
+        out["n_shared"].to_numpy(), out["n_shingles"].to_numpy()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _fingerprint_batch(t: pa.Table) -> pa.Table:
     # one rolling-hash pass over the batch + a reduceat min per doc — no
     # per-document numpy call chain

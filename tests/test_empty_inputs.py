@@ -34,6 +34,11 @@ CASES = [
                      "stopword_ratio_e6", "mean_word_len_e6"]),
     ("doc_fingerprints", ["doc_id", "fingerprint"]),
     ("lang_distribution", ["lang_guess", "n_docs"]),
+    ("gopher_repetition", ["doc_id", "n_words", "n_distinct_words",
+                           "top_word_n", "top_bigram_n", "dup_word_frac_e6",
+                           "top_word_frac_e6", "top_bigram_frac_e6", "keep"]),
+    ("repeated_passages", ["doc_id", "n_shingles", "n_shared",
+                           "shared_frac_e6"]),
     ("event_user_counts", ["event_type", "n_users", "n_events"]),
     ("approx_user_counts", ["event_type", "approx_users"]),
     ("order_price_quantiles", ["q_bp", "price_cents"]),

@@ -127,3 +127,68 @@ def test_doc_fingerprints_pipeline_matches_scalar_kernel(ray_session):
     expected = [tx.fingerprint64(t) for t in rows["text"]]
     assert out["doc_id"].tolist() == rows["doc_id"].tolist()
     assert out["fingerprint"].tolist() == expected
+
+
+def _write_docs(tmp_path, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "docs_sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["t"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_gopher_repetition_crafted_edges(ray_session, tmp_path):
+    from entity_deduplication_hack_main_ray.pipelines.text_analysis import (
+        gopher_repetition,
+    )
+
+    texts = [
+        "spam " * 24 + "spam",          # 25 words, all identical -> reject
+        " ".join(f"w{i}" for i in range(30)),  # 30 distinct -> keep
+        "x",                            # single word: no bigrams, too short
+        "a b " * 12 + "a",              # one bigram dominates -> reject
+    ]
+    out = gopher_repetition(_write_docs(tmp_path, texts))
+    r = {int(k): row for k, row in out.set_index("doc_id").iterrows()}
+    assert (r[0]["n_words"], r[0]["n_distinct_words"]) == (25, 1)
+    assert r[0]["top_word_n"] == 25 and r[0]["keep"] == 0
+    assert r[0]["dup_word_frac_e6"] == 960000  # 24/25
+    assert r[1]["keep"] == 1 and r[1]["dup_word_frac_e6"] == 0
+    assert (r[2]["n_words"], r[2]["top_bigram_n"], r[2]["keep"]) == (1, 0, 0)
+    assert r[3]["top_bigram_frac_e6"] == 500000  # "a b" 12x of 24 bigrams
+    assert r[3]["keep"] == 0
+
+
+def test_repeated_passages_crafted(ray_session, tmp_path):
+    from entity_deduplication_hack_main_ray.pipelines.text_analysis import (
+        repeated_passages,
+    )
+
+    shared = " ".join(f"p{i}" for i in range(8))  # one 8-word passage
+    texts = [
+        shared + " tailA0 tailA1",
+        "head0 head1 " + shared,
+        " ".join(f"u{i}" for i in range(10)),  # all unique passages
+        "short doc",                           # < 8 words: absent
+    ]
+    out = repeated_passages(_write_docs(tmp_path, texts), n=8)
+    assert set(out["doc_id"]) == {0, 1, 2}
+    r = out.set_index("doc_id")
+    # doc0: 3 shingles, only the exact shared window co-occurs in doc1
+    assert (r.loc[0, "n_shingles"], r.loc[0, "n_shared"]) == (3, 1)
+    assert (r.loc[1, "n_shingles"], r.loc[1, "n_shared"]) == (3, 1)
+    assert (r.loc[2, "n_shingles"], r.loc[2, "n_shared"]) == (3, 0)
+    assert r.loc[0, "shared_frac_e6"] == 333333
