@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "gopher_repetition": text_analysis.gopher_repetition,
         "repeated_passages": text_analysis.repeated_passages,
+        "top_words": text_analysis.top_words,
         # ---- multimodal: audio + video legs (deterministic synth clip per
         # doc → actor-pool stages; encode→decode→analysis end-to-end,
         # value-pinned pytests)
@@ -369,6 +370,12 @@ def oracle_sql() -> dict[str, str]:
                         AND top_word_frac_e6 <= 200000
                         AND top_bigram_frac_e6 <= 120000 AS BIGINT) AS keep
             FROM m
+        """,
+        "top_words": """
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS word
+                  FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT 20
         """,
         "repeated_passages": """
             WITH t AS (SELECT doc_id, STRING_SPLIT(COALESCE(text, ''), ' ') AS ws

@@ -230,6 +230,38 @@ def gopher_repetition(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _word_count_partial(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: local word counts, so the global exchange moves
+    O(batches × vocab) rows, not one row per word occurrence."""
+    _parent, codes, _nw, uniq = _word_splits(t)
+    counts = np.bincount(codes, minlength=len(uniq))
+    return pa.table(
+        {
+            "word": pa.array(np.asarray(uniq, dtype=object), pa.string()),
+            "n_partial": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def top_words(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Corpus-wide word frequency top-k — the canonical pre-aggregated
+    map-reduce: per-batch bincount combiner → one ``groupby(word)`` sum over
+    partials → distributed ``sort`` + ``limit(k)`` (only k rows reach the
+    driver). Ties break on the word itself so the oracle ordering is total.
+    """
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_word_count_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out = ensure_cols(out, word="object", n="int64")
+    return out.reset_index(drop=True)
+
+
 _SHINGLE_B = np.uint64(1099511628211)  # FNV prime as polynomial base
 
 

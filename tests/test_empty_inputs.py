@@ -34,6 +34,7 @@ CASES = [
                      "stopword_ratio_e6", "mean_word_len_e6"]),
     ("doc_fingerprints", ["doc_id", "fingerprint"]),
     ("lang_distribution", ["lang_guess", "n_docs"]),
+    ("top_words", ["word", "n"]),
     ("gopher_repetition", ["doc_id", "n_words", "n_distinct_words",
                            "top_word_n", "top_bigram_n", "dup_word_frac_e6",
                            "top_word_frac_e6", "top_bigram_frac_e6", "keep"]),

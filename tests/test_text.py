@@ -192,3 +192,14 @@ def test_repeated_passages_crafted(ray_session, tmp_path):
     assert (r.loc[1, "n_shingles"], r.loc[1, "n_shared"]) == (3, 1)
     assert (r.loc[2, "n_shingles"], r.loc[2, "n_shared"]) == (3, 0)
     assert r.loc[0, "shared_frac_e6"] == 333333
+
+
+def test_top_words_deterministic_ties(ray_session, tmp_path):
+    from entity_deduplication_hack_main_ray.pipelines.text_analysis import (
+        top_words,
+    )
+
+    # b and c tie at 2; boundary must break on the word itself
+    out = top_words(_write_docs(tmp_path, ["a a a b b", "c c d"]), k=2)
+    assert list(out["word"]) == ["a", "b"]
+    assert list(out["n"]) == [3, 2]
