@@ -97,24 +97,26 @@ def segment_revenue(sf_dir: str) -> pd.DataFrame:
     )
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def join_batch(t: pa.Table) -> pa.Table:
+    def join_agg_batch(t: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
-        # vectorized gather: dict-backed pandas map is a C-speed hash probe
+        # vectorized gather: dict-backed pandas map is a C-speed hash probe;
+        # then COMBINE locally — the exchange moves O(batches × segments)
+        # partial rows, never one row per order (the 100 TB fact table)
         seg = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)).map(lookup)
         cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
-        return pa.table(
-            {
-                "c_mktsegment": pa.Array.from_pandas(seg, type=pa.string()),
-                "price_cents": pa.array(cents),
-            }
+        g = (
+            pd.DataFrame({"c_mktsegment": seg, "price_cents": cents})
+            .groupby("c_mktsegment", as_index=False)
+            .agg(rev_p=("price_cents", "sum"), n_p=("price_cents", "size"))
         )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        orders.map_batches(join_batch, batch_format="pyarrow")
+        orders.map_batches(join_agg_batch, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(
-            Sum("price_cents", alias_name="revenue_cents"),
-            Count(alias_name="n_orders"),
+            Sum("rev_p", alias_name="revenue_cents"),
+            Sum("n_p", alias_name="n_orders"),
         )
         .to_pandas()
     )
