@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": text_dedup.simhash_signatures_table,
         "simhash_dedup_docs": text_dedup.simhash_dedup,
         "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
+        "substring_dup_pairs": text_dedup.substring_dup_pairs,
         "simhash_near_pairs": text_dedup.simhash_near_pairs,
         # ---- similarity search over embeddings ----------------------------
         "ann_cosine_topk": ann.brute_force_cosine_topk,
@@ -490,6 +491,20 @@ def oracle_sql() -> dict[str, str]:
         # measured at sf0.001/0.01/0.1) therefore certifies two things at
         # once: LSH candidate recall is 1.0 on this corpus, and the hashed
         # sets are collision-free.
+        # substring_dup_pairs: exact semantics — the oracle joins on actual
+        # 40-char substrings; the engine's 128-bit window hashes reproduce
+        # the same pair set and counts (collision p ≈ 2⁻¹²⁸).
+        "substring_dup_pairs": """
+            WITH g AS (SELECT DISTINCT doc_id, sub FROM (
+                   SELECT doc_id,
+                          UNNEST([SUBSTR(text, i, 40)
+                                  FOR i IN GENERATE_SERIES(1, LEN(text) - 39)]) AS sub
+                   FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+            FROM g a JOIN g b ON a.sub = b.sub AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
         "ngram_jaccard_pairs": """
             WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents),
             sh AS (

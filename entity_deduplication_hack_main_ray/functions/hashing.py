@@ -127,6 +127,61 @@ def shingle_hash_stream(
     return h_all[pos], offsets
 
 
+_POLY_B2 = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)  # second odd base
+
+
+def char_ngram_hash2_stream(
+    texts: list[str], L: int, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h1, h2, offsets): TWO independent 64-bit polynomial hashes (distinct
+    odd multiplier bases, independently seed-finalized) of every CHARACTER
+    ``L``-gram of every text; ``h*[offsets[i]:offsets[i+1]]`` belong to doc
+    i, in window order. Character-exact — the stream is UTF-32 code units,
+    so window boundaries agree with SQL ``substr`` on any text, not just
+    ASCII. Texts shorter than ``L`` contribute NO windows (a doc cannot
+    share an L-substring it doesn't have). One sliding-window pass over the
+    concatenated batch; windows crossing document boundaries are excluded
+    by the ragged position index. The (h1, h2) pair is an effectively
+    128-bit key: two distinct windows collide on BOTH hashes with
+    p ≈ 2⁻¹²⁸ per pair, so exact-substring consumers need no re-verify."""
+    n = len(texts)
+    empty = (
+        np.empty(0, dtype=np.uint64),
+        np.empty(0, dtype=np.uint64),
+        np.zeros(n + 1, dtype=np.int64),
+    )
+    if n == 0:
+        return empty
+    raws = [t.encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(r) >> 2 for r in raws), dtype=np.int64, count=n)
+    cnt = np.maximum(lens - L + 1, 0)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cnt, out=offsets[1:])
+    if offsets[-1] == 0:
+        return empty
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    big = np.frombuffer(b"".join(raws), dtype=np.uint32).astype(np.uint64)
+
+    with np.errstate(**_ERRSTATE):
+        powers = np.empty((2, L), dtype=np.uint64)
+        for row, b in enumerate((_FNV_PRIME, _POLY_B2)):
+            p = np.uint64(1)
+            for i in range(L - 1, -1, -1):
+                powers[row, i] = p
+                p = p * b
+        win = np.lib.stride_tricks.sliding_window_view(big, L)
+        s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+        h1_all = splitmix64((win * powers[0][None, :]).sum(axis=1, dtype=np.uint64) + s)
+        h2_all = splitmix64(
+            (win * powers[1][None, :]).sum(axis=1, dtype=np.uint64)
+            + splitmix64(s + np.uint64(1))
+        )
+    base = np.repeat(starts[:-1] - offsets[:-1], cnt)
+    pos = base + np.arange(offsets[-1], dtype=np.int64)
+    return h1_all[pos], h2_all[pos], offsets
+
+
 def minhash_from_stream(
     hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:

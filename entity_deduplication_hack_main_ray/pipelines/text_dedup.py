@@ -30,7 +30,7 @@ from ..functions.hashing import (
     signature_digest,
     simhash_from_stream,
 )
-from ..functions.frames import ensure_cols
+from ..functions.frames import ensure_cols, typed_empty
 from ..oracle import _KEY_PAD, owned_pair_mask
 
 
@@ -661,3 +661,137 @@ def simhash_dedup(
         batch_format="pyarrow",
     )
     return _cluster_doc_edges(edges, _docs(sf_dir, ["doc_id"]), cfg)
+
+
+def substring_dup_pairs(
+    sf_dir: str,
+    L: int = 40,
+    num_partitions: int = 64,
+    max_group: int = 256,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """EXACT duplicated-substring pairs — the suffix-array-substring leg of
+    the dedup family (ExactSubstr semantics of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at fixed
+    window granularity: (id_a, id_b, n_shared_grams) for every document
+    pair sharing at least one identical ``L``-character substring, where
+    ``n_shared_grams`` counts their distinct shared ``L``-windows.
+
+    This is exact, not a similarity approximation: a duplicated substring
+    of length ≥ L always contains a duplicated L-window, and any shared
+    L-window IS a duplicated length-L substring — so "pair appears in the
+    output" ⟺ "pair shares a duplicated substring of length ≥ L". A full
+    suffix array would additionally report the maximal span length; at
+    cluster scale the window decomposition is the standard substitute
+    because it needs no global suffix sort — one hash exchange replaces it.
+
+    Scale shape: per-batch char-window hashing
+    (``char_ngram_hash2_stream``: one sliding-window pass, 128-bit keys so
+    collisions are ~2⁻¹²⁸ and no text re-verification pass is needed) →
+    distinct (h, doc) rows — ONLY 24-byte hash rows shuffle, never text →
+    ``groupby(pkey = h1 % P)``: every window group is complete within one
+    partition; pairs emit all-pairs for groups ≤ ``max_group`` docs and a
+    star for hotter groups (connectivity preserved, drop logged) →
+    per-partition pair partials → one tiny second exchange summing
+    ``n_shared_grams`` per pair. Pair multiplicity between the exchanges is
+    bounded by the pair's shared-window count (≈ shared span length), the
+    same bound the oracle's join carries.
+    """
+    from ..functions.hashing import char_ngram_hash2_stream, splitmix64
+
+    P = num_partitions
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        texts = [s or "" for s in t["text"].to_pylist()]
+        h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
+        doc = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(offsets),
+        )
+        # distinct (h1, h2) per doc via lexsort run starts
+        order = np.lexsort((h2, h1, doc))
+        d, a, b = doc[order], h1[order], h2[order]
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            first[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                "h1": pa.array(a[first].view(np.int64)),
+                "h2": pa.array(b[first].view(np.int64)),
+                "doc_id": pa.array(d[first]),
+                "pkey": pa.array((a[first] % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "doc_id"], kind="stable")
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(g)))
+        a_all, b_all = [], []
+        n_starred = 0
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            rs = starts[sizes == m]
+            mat = ids[rs[:, None] + np.arange(m)[None, :]]
+            if m <= max_group:
+                iu, ju = np.triu_indices(m, 1)
+                a, b = mat[:, iu].ravel(), mat[:, ju].ravel()
+            else:  # hot window: star keeps every doc connected, O(m) pairs
+                n_starred += len(rs)
+                a = np.repeat(mat[:, 0], m - 1)
+                b = mat[:, 1:].ravel()
+            a_all.append(a)
+            b_all.append(b)
+        if n_starred:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "substring_dup_pairs: %d window groups larger than "
+                "max_group=%d emitted star pairs (n_shared_grams and "
+                "non-star pair lists are lower bounds for those groups)",
+                n_starred, max_group,
+            )
+        if not a_all:
+            return typed_empty(id_a="int64", id_b="int64",
+                               n_partial="int64", pkey2="int64")
+        a = np.concatenate(a_all)
+        b = np.concatenate(b_all)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = (
+            pd.DataFrame({"id_a": lo, "id_b": hi})
+            .groupby(["id_a", "id_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_partial"})
+        )
+        out["n_partial"] = out["n_partial"].astype(np.int64)
+        pair_h = splitmix64(
+            out["id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ out["id_b"].to_numpy().astype(np.uint64)
+        )
+        out["pkey2"] = (pair_h % np.uint64(P)).astype(np.int64)
+        return out
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["id_a", "id_b"], as_index=False)["n_partial"]
+            .sum()
+            .rename(columns={"n_partial": "n_shared_grams"})
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(group_pairs, batch_format="pandas")
+        .groupby("pkey2")
+        .map_groups(merge_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(out, id_a="int64", id_b="int64", n_shared_grams="int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -583,3 +583,80 @@ def test_near_dup_hot_bucket_centered_cone_splits(ray_session):
     planted = {(i, 1500 + i) for i in range(150)}
     recall = len(found & planted) / len(planted)
     assert recall >= 0.95, recall
+
+
+def test_char_ngram_hash2_stream_alignment():
+    import numpy as np
+
+    from entity_deduplication_hack_main_ray.functions.hashing import (
+        char_ngram_hash2_stream,
+    )
+
+    texts = ["abcdefg", "xyz", "bcdefgh"]
+    h1, h2, off = char_ngram_hash2_stream(texts, 4, seed=7)
+    # counts: 4, 0 (too short), 4 — and no cross-doc windows
+    assert list(np.diff(off)) == [4, 0, 4]
+    # identical windows hash identically on BOTH hashes: doc0 and doc2
+    # share bcde/cdef/defg at shifted positions
+    assert (h1[1:4] == h1[4:7]).all() and (h2[1:4] == h2[4:7]).all()
+    # 8 windows, 3 shared → 5 distinct values
+    assert len(set(h1.tolist())) == 5
+    # single-doc consistency vs the batch stream
+    s1, s2, so = char_ngram_hash2_stream(["abcdefg"], 4, seed=7)
+    assert (s1 == h1[:4]).all() and (s2 == h2[:4]).all()
+
+
+def test_substring_dup_pairs_crafted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        substring_dup_pairs,
+    )
+
+    shared = "S" * 39 + "T"  # exactly one 40-char window
+    texts = [
+        "A" * 20 + shared + "B" * 20,   # doc0
+        "C" * 5 + shared + "D" * 30,    # doc1: shares exactly `shared`
+        shared,                          # doc2: exactly the window
+        "E" * 39,                        # doc3: too short, no windows
+        "F" * 100,                       # doc4: unique content
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts)}),
+        str(d / "documents.parquet"),
+    )
+    out = substring_dup_pairs(str(d), L=40)
+    got = {(a, b): n for a, b, n in
+           zip(out["id_a"], out["id_b"], out["n_shared_grams"])}
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 2): 1}
+
+
+def test_substring_dup_pairs_matches_duckdb(ray_session):
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        substring_dup_pairs,
+    )
+
+    out = substring_dup_pairs(SF, L=40)
+    oracle = duckdb.sql(
+        f"""
+        WITH g AS (SELECT DISTINCT doc_id, sub FROM (
+               SELECT doc_id,
+                      UNNEST([SUBSTR(text, i, 40)
+                              FOR i IN GENERATE_SERIES(1, LEN(text) - 39)]) AS sub
+               FROM read_parquet('{SF}/documents.parquet')))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        FROM g a JOIN g b ON a.sub = b.sub AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert out.reset_index(drop=True).equals(
+        oracle.astype({"id_a": "int64", "id_b": "int64",
+                       "n_shared_grams": "int64"})
+    )
