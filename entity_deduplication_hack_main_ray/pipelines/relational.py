@@ -452,17 +452,24 @@ def daily_order_totals(sf_dir: str) -> pd.DataFrame:
     event-time windows; the bucket column IS the window)."""
     ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
-    def bucket(t: pa.Table) -> pa.Table:
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        # bucket THEN combine locally: the exchange moves O(batches × days)
+        # partial rows, not one row per order
         day = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
         cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
-        return pa.table({"day": day, "price_cents": pa.array(cents)})
+        g = (
+            pd.DataFrame({"day": day.to_pandas(), "price_cents": cents})
+            .groupby("day", as_index=False)
+            .agg(rev_p=("price_cents", "sum"), n_p=("price_cents", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
+        ds.map_batches(bucket_partial, batch_format="pyarrow")
         .groupby("day")
         .aggregate(
-            Sum("price_cents", alias_name="revenue_cents"),
-            Count(alias_name="n_orders"),
+            Sum("rev_p", alias_name="revenue_cents"),
+            Sum("n_p", alias_name="n_orders"),
         )
         .to_pandas()
     )
