@@ -107,3 +107,23 @@ class PipelineConfig:
         d["adaptive_thresholds"] = sorted(d["adaptive_thresholds"].items())
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def media_pool_size(cap: int = 64, floor: int = 4) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for media decode/embed stages, sized to
+    the CLUSTER rather than a hard-coded constant: ``(1, min(cap, CPUs))``.
+    A fixed ``(1, 8)`` cap left 24+ cores idle on a 32-CPU node (measured
+    2× on image_embed_near_dup_pairs); on a 256-node cluster it would idle
+    everything but one node's worth of actors. Autoscaling pools only spawn
+    actors when backlogged and release idle ones, so a generous upper bound
+    costs nothing on small inputs. ``cap`` bounds per-STAGE actor count so
+    several concurrent media stages cannot oversubscribe a node pool."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", floor)) if (
+            ray.is_initialized()
+        ) else floor
+    except Exception:
+        cpus = floor
+    return (1, max(floor, min(cap, cpus)))

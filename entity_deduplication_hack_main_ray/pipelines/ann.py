@@ -613,7 +613,7 @@ def image_embed_near_dup_pairs(
     collapsing. vec_id = corpus row index (``int(image_id[:8])``)."""
     from .corpus_dedup import corpus_for_sf
     from .multimodal import ImageEmbed
-    from ..config import PipelineConfig
+    from ..config import PipelineConfig, media_pool_size
     from ..sources.io import read_corpus
 
     cfg = PipelineConfig()
@@ -623,7 +623,7 @@ def image_embed_near_dup_pairs(
         ImageEmbed,
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size,
-        concurrency=(1, 8),
+        concurrency=media_pool_size(),
     )
 
     def to_vec(t: pa.Table) -> pa.Table:

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..config import PipelineConfig
+from ..config import PipelineConfig, media_pool_size
 from ..functions.codecs import (
     UnsupportedFormatError,
     decode_audio,
@@ -237,7 +237,7 @@ def audio_features_pipeline(
         fn_constructor_kwargs={"frame_len": frame_len, "hop": hop},
         batch_format="pyarrow",
         batch_size=max(8, cfg.image_batch_size // 8),
-        concurrency=(1, 4),
+        concurrency=media_pool_size(),
     )
 
 

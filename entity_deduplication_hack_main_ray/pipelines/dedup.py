@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..config import PipelineConfig
+from ..config import PipelineConfig, media_pool_size
 from ..sources.io import read_corpus
 from ..stages.candidates import explode_keys
 from ..stages.cluster import cluster_assignments
@@ -339,5 +339,5 @@ def psnr_spot_check(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size,
-        concurrency=(1, 8),
+        concurrency=media_pool_size(),
     )

@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from ..config import PipelineConfig
+from ..config import PipelineConfig, media_pool_size
 from ..functions.codecs import (
     UnsupportedFormatError,
     decode_image,
@@ -201,7 +201,7 @@ def video_frame_pipeline(
         fn_constructor_kwargs={"every_n_frames": every_n_frames},
         batch_format="pyarrow",
         batch_size=max(8, cfg.image_batch_size // 8),
-        concurrency=(1, 4),
+        concurrency=media_pool_size(),
     )
     if keep_failed:
         return frames
@@ -299,5 +299,5 @@ def image_stats_pipeline(
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size,
-        concurrency=(1, 4),
+        concurrency=media_pool_size(),
     )
