@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_docs": text_dedup.simhash_dedup,
         "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
         "substring_dup_pairs": text_dedup.substring_dup_pairs,
+        "source_contamination": text_dedup.source_contamination,
         "simhash_near_pairs": text_dedup.simhash_near_pairs,
         # ---- similarity search over embeddings ----------------------------
         "ann_cosine_topk": ann.brute_force_cosine_topk,
@@ -504,6 +505,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_shared_grams
             FROM g a JOIN g b ON a.sub = b.sub AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "source_contamination": """
+            WITH g AS (SELECT DISTINCT doc_id, sub FROM (
+                   SELECT doc_id,
+                          UNNEST([SUBSTR(text, i, 40)
+                                  FOR i IN GENERATE_SERIES(1, LEN(text) - 39)]) AS sub
+                   FROM documents)),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM g a JOIN g b ON a.sub = b.sub AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            s AS (SELECT LEAST(da.source, db.source) AS source_a,
+                         GREATEST(da.source, db.source) AS source_b
+                  FROM p
+                  JOIN documents da ON p.id_a = da.doc_id
+                  JOIN documents db ON p.id_b = db.doc_id)
+            SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM s GROUP BY 1, 2
         """,
         "ngram_jaccard_pairs": """
             WITH docs AS (SELECT doc_id, LOWER(text) AS t FROM documents),

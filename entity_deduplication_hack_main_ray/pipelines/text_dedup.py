@@ -795,3 +795,132 @@ def substring_dup_pairs(
     )
     out = ensure_cols(out, id_a="int64", id_b="int64", n_shared_grams="int64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def source_contamination(
+    sf_dir: str,
+    L: int = 40,
+    num_partitions: int = 64,
+    max_group: int = 256,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Cross-source contamination report — the decontamination primitive of
+    LLM training pipelines (e.g. benchmark leakage checks): for every pair
+    of ``source`` labels, how many document pairs share an exact
+    ``L``-character substring (same exact semantics as
+    ``substring_dup_pairs``). Off-diagonal rows are train/eval leakage;
+    the diagonal is within-source duplication.
+
+    Scale shape: the source LABEL (low-cardinality, dictionary-encoded by
+    Arrow) rides the 24-byte hash rows — there is NO doc→source lookup
+    side table, which at corpus scale would be an O(docs) broadcast or an
+    extra join. Pair dedup + source attribution happen in the same second
+    exchange as ``substring_dup_pairs``; the driver sees only
+    O(P × sources²) pre-aggregated partial rows.
+    """
+    from ..functions.hashing import char_ngram_hash2_stream, splitmix64
+
+    P = num_partitions
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        texts = [s or "" for s in t["text"].to_pylist()]
+        h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
+        cnt = np.diff(offsets)
+        doc = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), cnt
+        )
+        src = np.repeat(
+            np.asarray(t["source"].to_pylist(), dtype=object), cnt
+        )
+        order = np.lexsort((h2, h1, doc))
+        d, a, b = doc[order], h1[order], h2[order]
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            first[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                "h1": pa.array(a[first].view(np.int64)),
+                "h2": pa.array(b[first].view(np.int64)),
+                "doc_id": pa.array(d[first]),
+                "source": pa.array(src[order][first], pa.string()),
+                "pkey": pa.array((a[first] % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h1", "h2", "doc_id"], kind="stable")
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        srcs = g["source"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(g)))
+        a_all, b_all, sa_all, sb_all = [], [], [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            rs = starts[sizes == m]
+            pos = rs[:, None] + np.arange(m)[None, :]
+            if m <= max_group:
+                iu, ju = np.triu_indices(m, 1)
+                pi, pj = pos[:, iu].ravel(), pos[:, ju].ravel()
+            else:  # hot window: star (connectivity; counts lower-bounded)
+                pi = np.repeat(pos[:, 0], m - 1)
+                pj = pos[:, 1:].ravel()
+            a_all.append(ids[pi]); b_all.append(ids[pj])
+            sa_all.append(srcs[pi]); sb_all.append(srcs[pj])
+        if not a_all:
+            return typed_empty(id_a="int64", id_b="int64",
+                               source_a="object", source_b="object",
+                               pkey2="int64")
+        a = np.concatenate(a_all); b = np.concatenate(b_all)
+        sa = np.concatenate(sa_all); sb = np.concatenate(sb_all)
+        swap = a > b
+        a2 = np.where(swap, b, a); b2 = np.where(swap, a, b)
+        sa2 = np.where(swap, sb, sa); sb2 = np.where(swap, sa, sb)
+        out = (
+            pd.DataFrame({"id_a": a2, "id_b": b2,
+                          "source_a": sa2, "source_b": sb2})
+            .drop_duplicates(["id_a", "id_b"])  # within-partition dedup
+        )
+        pair_h = splitmix64(
+            out["id_a"].to_numpy().astype(np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+            ^ out["id_b"].to_numpy().astype(np.uint64)
+        )
+        out["pkey2"] = (pair_h % np.uint64(P)).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # global pair dedup, then canonical source ordering + partial counts
+        g = g.drop_duplicates(["id_a", "id_b"])
+        lo = np.minimum(g["source_a"].to_numpy(), g["source_b"].to_numpy())
+        hi = np.maximum(g["source_a"].to_numpy(), g["source_b"].to_numpy())
+        return (
+            pd.DataFrame({"source_a": lo, "source_b": hi})
+            .groupby(["source_a", "source_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_partial"})
+        )
+
+    parts = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(group_pairs, batch_format="pandas")
+        .groupby("pkey2")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return typed_empty(source_a="object", source_b="object",
+                           n_pairs="int64")
+    out = (
+        parts.groupby(["source_a", "source_b"], as_index=False)["n_partial"]
+        .sum()
+        .rename(columns={"n_partial": "n_pairs"})
+    )
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)

@@ -660,3 +660,30 @@ def test_substring_dup_pairs_matches_duckdb(ray_session):
         oracle.astype({"id_a": "int64", "id_b": "int64",
                        "n_shared_grams": "int64"})
     )
+
+
+def test_source_contamination_crafted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        source_contamination,
+    )
+
+    shared = "Z" * 40
+    texts = ["a" * 10 + shared, shared + "b" * 10,   # train × eval leak
+             shared + "c" * 10,                       # second train doc
+             "unique " * 20]
+    srcs = ["train", "eval", "train", "eval"]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts), "source": pa.array(srcs)}),
+        str(d / "documents.parquet"),
+    )
+    out = source_contamination(str(d), L=40)
+    got = {(a, b): n for a, b, n in
+           zip(out["source_a"], out["source_b"], out["n_pairs"])}
+    # pairs: (0,1) eval/train, (0,2) train/train, (1,2) eval/train
+    assert got == {("eval", "train"): 2, ("train", "train"): 1}
