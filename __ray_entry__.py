@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": text_dedup.ngram_jaccard_pairs,
         "substring_dup_pairs": text_dedup.substring_dup_pairs,
         "source_contamination": text_dedup.source_contamination,
+        "substring_dedup_docs": text_dedup.substring_dedup_docs,
         "simhash_near_pairs": text_dedup.simhash_near_pairs,
         # ---- similarity search over embeddings ----------------------------
         "ann_cosine_topk": ann.brute_force_cosine_topk,

@@ -669,7 +669,8 @@ def substring_dup_pairs(
     num_partitions: int = 64,
     max_group: int = 256,
     seed: int = 7,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> pd.DataFrame | ray.data.Dataset:
     """EXACT duplicated-substring pairs — the suffix-array-substring leg of
     the dedup family (ExactSubstr semantics of Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better") at fixed
@@ -784,17 +785,42 @@ def substring_dup_pairs(
             .rename(columns={"n_partial": "n_shared_grams"})
         )
 
-    out = (
+    ds = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(gram_rows, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(group_pairs, batch_format="pandas")
         .groupby("pkey2")
         .map_groups(merge_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    out = ensure_cols(out, id_a="int64", id_b="int64", n_shared_grams="int64")
+    if as_dataset:
+        return ds
+    out = ensure_cols(
+        ds.to_pandas(), id_a="int64", id_b="int64", n_shared_grams="int64"
+    )
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def substring_dedup_docs(
+    sf_dir: str,
+    L: int = 40,
+    cfg: PipelineConfig | None = None,
+) -> pd.DataFrame:
+    """Exact-substring cluster dedup — completes the dedup-family symmetry
+    (exact / MinHash / SimHash / substring each have a pairs query AND a
+    cluster query): connected components over the EXACT
+    ``substring_dup_pairs`` edges, cluster_id = min doc_id, via the shared
+    adaptive clustering + distributed apply tail (edges never pulled whole
+    to the driver). Because the edge set is exact, the clustering is
+    value-testable against a union-find over the DuckDB substring oracle."""
+    cfg = cfg or PipelineConfig()
+    edges = substring_dup_pairs(sf_dir, L, as_dataset=True).map_batches(
+        lambda t: pa.table(
+            {"id_a": _pad20(t["id_a"]), "id_b": _pad20(t["id_b"])}
+        ),
+        batch_format="pyarrow",
+    )
+    return _cluster_doc_edges(edges, _docs(sf_dir, ["doc_id"]), cfg)
 
 
 def source_contamination(
