@@ -720,3 +720,25 @@ def test_substring_dedup_docs_matches_oracle_components(ray_session):
     }
     assert dict(zip(out["doc_id"], out["cluster_id"])) == expected
     assert len(pairs) > 0  # non-vacuous on the fixture
+
+
+def test_substring_family_partition_invariant(ray_session):
+    """Partition count is an execution knob, not a semantic one: the exact
+    substring pair set, contamination report and passage stats must be
+    byte-identical at P=4 and P=64 (the north rule's cluster-size
+    independence, applied to the new dedup members)."""
+    from entity_deduplication_hack_main_ray.pipelines.text_analysis import (
+        repeated_passages,
+    )
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        source_contamination,
+        substring_dup_pairs,
+    )
+
+    for fn in (substring_dup_pairs, source_contamination):
+        a = fn(SF, num_partitions=4).reset_index(drop=True)
+        b = fn(SF, num_partitions=64).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+    a = repeated_passages(SF, num_partitions=4).reset_index(drop=True)
+    b = repeated_passages(SF, num_partitions=64).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
