@@ -108,6 +108,10 @@ def run_bench(num_cpus: int) -> dict:
         text_dedup.minhash_lsh_dedup(SF_DIR)
         queries["minhash_lsh_dedup_docs"] = round(time.monotonic() - t0, 3)
 
+        t0 = time.monotonic()
+        text_dedup.substring_dup_pairs(SF_DIR)
+        queries["substring_dup_pairs_docs"] = round(time.monotonic() - t0, 3)
+
     total = sum(queries.values())
     return {
         "metric": "e2e_sec",
