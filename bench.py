@@ -110,7 +110,7 @@ def run_bench(num_cpus: int) -> dict:
 
         t0 = time.monotonic()
         text_dedup.substring_dup_pairs(SF_DIR)
-        queries["substring_dup_pairs_docs"] = round(time.monotonic() - t0, 3)
+        queries["substring_dup_pairs"] = round(time.monotonic() - t0, 3)
 
     total = sum(queries.values())
     return {

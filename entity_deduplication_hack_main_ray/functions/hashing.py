@@ -164,19 +164,20 @@ def char_ngram_hash2_stream(
     big = np.frombuffer(b"".join(raws), dtype=np.uint32).astype(np.uint64)
 
     with np.errstate(**_ERRSTATE):
-        powers = np.empty((2, L), dtype=np.uint64)
-        for row, b in enumerate((_FNV_PRIME, _POLY_B2)):
-            p = np.uint64(1)
-            for i in range(L - 1, -1, -1):
-                powers[row, i] = p
-                p = p * b
-        win = np.lib.stride_tricks.sliding_window_view(big, L)
+        # Horner accumulation: L sequential O(N) vector ops and O(N)
+        # transient memory — NOT an (N×L) sliding-window product matrix,
+        # which at L=40 would allocate ~640 bytes per input character
+        n_win = len(big) - L + 1
         s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
-        h1_all = splitmix64((win * powers[0][None, :]).sum(axis=1, dtype=np.uint64) + s)
-        h2_all = splitmix64(
-            (win * powers[1][None, :]).sum(axis=1, dtype=np.uint64)
-            + splitmix64(s + np.uint64(1))
-        )
+        acc1 = big[:n_win].copy()
+        acc2 = big[:n_win].copy()
+        for j in range(1, L):
+            acc1 *= _FNV_PRIME
+            acc1 += big[j : j + n_win]
+            acc2 *= _POLY_B2
+            acc2 += big[j : j + n_win]
+        h1_all = splitmix64(acc1 + s)
+        h2_all = splitmix64(acc2 + splitmix64(s + np.uint64(1)))
     base = np.repeat(starts[:-1] - offsets[:-1], cnt)
     pos = base + np.arange(offsets[-1], dtype=np.int64)
     return h1_all[pos], h2_all[pos], offsets

@@ -85,6 +85,14 @@ def run_job(args: argparse.Namespace) -> dict:
 
     t0 = time.monotonic()
     if args.grow_from:
+        if args.with_bytes:
+            raise SystemExit(
+                "--with-bytes is not supported with --grow-from: the "
+                "incremental path trusts the corpus phash column (the "
+                "base run's signatures are reused unverified). Run the "
+                "growth shard as a base job with --with-bytes first if "
+                "fidelity re-decoding is required."
+            )
         from .pipelines.incremental import incremental_dedup_pipeline
 
         edges, clusters = incremental_dedup_pipeline(

@@ -109,7 +109,15 @@ def segment_revenue(sf_dir: str) -> pd.DataFrame:
             .groupby("c_mktsegment", as_index=False)
             .agg(rev_p=("price_cents", "sum"), n_p=("price_cents", "size"))
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit schema: an empty batch must not infer the key as Arrow
+        # null type (mixed-schema blocks would break the groupby)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(g["c_mktsegment"], pa.string()),
+                "rev_p": pa.array(g["rev_p"], pa.int64()),
+                "n_p": pa.array(g["n_p"], pa.int64()),
+            }
+        )
 
     out = (
         orders.map_batches(join_agg_batch, batch_format="pyarrow")
@@ -462,7 +470,14 @@ def daily_order_totals(sf_dir: str) -> pd.DataFrame:
             .groupby("day", as_index=False)
             .agg(rev_p=("price_cents", "sum"), n_p=("price_cents", "size"))
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # explicit schema: empty batches must not infer `day` as null type
+        return pa.table(
+            {
+                "day": pa.array(g["day"], pa.string()),
+                "rev_p": pa.array(g["rev_p"], pa.int64()),
+                "n_p": pa.array(g["n_p"], pa.int64()),
+            }
+        )
 
     out = (
         ds.map_batches(bucket_partial, batch_format="pyarrow")

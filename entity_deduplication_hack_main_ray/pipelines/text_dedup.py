@@ -663,6 +663,89 @@ def simhash_dedup(
     return _cluster_doc_edges(edges, _docs(sf_dir, ["doc_id"]), cfg)
 
 
+def _distinct_gram_table(
+    t: pa.Table, L: int, seed: int, P: int, carry_source: bool = False
+) -> pa.Table:
+    """Distinct (h1, h2, doc_id[, source], pkey) rows for one batch —
+    shared mapper of the exact-substring family (``substring_dup_pairs`` /
+    ``source_contamination``). Per-doc distinctness via one lexsort."""
+    from ..functions.hashing import char_ngram_hash2_stream
+
+    texts = [s or "" for s in t["text"].to_pylist()]
+    h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
+    cnt = np.diff(offsets)
+    doc = np.repeat(
+        t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), cnt
+    )
+    order = np.lexsort((h2, h1, doc))
+    d, a, b = doc[order], h1[order], h2[order]
+    first = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        first[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    cols = {
+        "h1": pa.array(a[first].view(np.int64)),
+        "h2": pa.array(b[first].view(np.int64)),
+        "doc_id": pa.array(d[first]),
+    }
+    if carry_source:
+        src = np.repeat(np.asarray(t["source"].to_pylist(), dtype=object), cnt)
+        cols["source"] = pa.array(src[order][first], pa.string())
+    cols["pkey"] = pa.array((a[first] % np.uint64(P)).astype(np.int64))
+    return pa.table(cols)
+
+
+def _window_pair_indices(
+    h1: np.ndarray, h2: np.ndarray, max_group: int, op_name: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs for every same-(h1, h2) window group of a partition
+    ALREADY SORTED by (h1, h2, ...): all-pairs for groups ≤ ``max_group``
+    rows, a star for hotter groups (connectivity preserved; pair lists and
+    counts become lower bounds there — logged, never silent)."""
+    new = np.ones(len(h1), dtype=bool)
+    if len(h1) > 1:
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+    starts = np.nonzero(new)[0]
+    sizes = np.diff(np.append(starts, len(h1)))
+    pi_all, pj_all = [], []
+    n_starred = 0
+    for m in np.unique(sizes):
+        if m < 2:
+            continue
+        rs = starts[sizes == m]
+        pos = rs[:, None] + np.arange(m)[None, :]
+        if m <= max_group:
+            iu, ju = np.triu_indices(m, 1)
+            pi, pj = pos[:, iu].ravel(), pos[:, ju].ravel()
+        else:  # hot window: star keeps every doc connected, O(m) pairs
+            n_starred += len(rs)
+            pi = np.repeat(pos[:, 0], m - 1)
+            pj = pos[:, 1:].ravel()
+        pi_all.append(pi)
+        pj_all.append(pj)
+    if n_starred:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: %d window groups larger than max_group=%d emitted star "
+            "pairs (pair lists and counts are lower bounds for those "
+            "groups)", op_name, n_starred, max_group,
+        )
+    if not pi_all:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(pi_all), np.concatenate(pj_all)
+
+
+def _pair_pkey(id_a: np.ndarray, id_b: np.ndarray, P: int) -> np.ndarray:
+    from ..functions.hashing import splitmix64
+
+    pair_h = splitmix64(
+        id_a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ id_b.astype(np.uint64)
+    )
+    return (pair_h % np.uint64(P)).astype(np.int64)
+
+
 def substring_dup_pairs(
     sf_dir: str,
     L: int = 40,
@@ -698,71 +781,19 @@ def substring_dup_pairs(
     bounded by the pair's shared-window count (≈ shared span length), the
     same bound the oracle's join carries.
     """
-    from ..functions.hashing import char_ngram_hash2_stream, splitmix64
-
     P = num_partitions
-
-    def gram_rows(t: pa.Table) -> pa.Table:
-        texts = [s or "" for s in t["text"].to_pylist()]
-        h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
-        doc = np.repeat(
-            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-            np.diff(offsets),
-        )
-        # distinct (h1, h2) per doc via lexsort run starts
-        order = np.lexsort((h2, h1, doc))
-        d, a, b = doc[order], h1[order], h2[order]
-        first = np.ones(len(d), dtype=bool)
-        if len(d) > 1:
-            first[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table(
-            {
-                "h1": pa.array(a[first].view(np.int64)),
-                "h2": pa.array(b[first].view(np.int64)),
-                "doc_id": pa.array(d[first]),
-                "pkey": pa.array((a[first] % np.uint64(P)).astype(np.int64)),
-            }
-        )
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["h1", "h2", "doc_id"], kind="stable")
-        h1 = g["h1"].to_numpy()
-        h2 = g["h2"].to_numpy()
         ids = g["doc_id"].to_numpy()
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-        starts = np.nonzero(new)[0]
-        sizes = np.diff(np.append(starts, len(g)))
-        a_all, b_all = [], []
-        n_starred = 0
-        for m in np.unique(sizes):
-            if m < 2:
-                continue
-            rs = starts[sizes == m]
-            mat = ids[rs[:, None] + np.arange(m)[None, :]]
-            if m <= max_group:
-                iu, ju = np.triu_indices(m, 1)
-                a, b = mat[:, iu].ravel(), mat[:, ju].ravel()
-            else:  # hot window: star keeps every doc connected, O(m) pairs
-                n_starred += len(rs)
-                a = np.repeat(mat[:, 0], m - 1)
-                b = mat[:, 1:].ravel()
-            a_all.append(a)
-            b_all.append(b)
-        if n_starred:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "substring_dup_pairs: %d window groups larger than "
-                "max_group=%d emitted star pairs (n_shared_grams and "
-                "non-star pair lists are lower bounds for those groups)",
-                n_starred, max_group,
-            )
-        if not a_all:
+        pi, pj = _window_pair_indices(
+            g["h1"].to_numpy(), g["h2"].to_numpy(), max_group,
+            "substring_dup_pairs",
+        )
+        if not len(pi):
             return typed_empty(id_a="int64", id_b="int64",
                                n_partial="int64", pkey2="int64")
-        a = np.concatenate(a_all)
-        b = np.concatenate(b_all)
+        a, b = ids[pi], ids[pj]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         out = (
             pd.DataFrame({"id_a": lo, "id_b": hi})
@@ -771,11 +802,9 @@ def substring_dup_pairs(
             .rename(columns={"size": "n_partial"})
         )
         out["n_partial"] = out["n_partial"].astype(np.int64)
-        pair_h = splitmix64(
-            out["id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            ^ out["id_b"].to_numpy().astype(np.uint64)
+        out["pkey2"] = _pair_pkey(
+            out["id_a"].to_numpy(), out["id_b"].to_numpy(), P
         )
-        out["pkey2"] = (pair_h % np.uint64(P)).astype(np.int64)
         return out
 
     def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -787,7 +816,10 @@ def substring_dup_pairs(
 
     ds = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(gram_rows, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _distinct_gram_table(t, L, seed, P),
+            batch_format="pyarrow",
+        )
         .groupby("pkey")
         .map_groups(group_pairs, batch_format="pandas")
         .groupby("pkey2")
@@ -844,65 +876,22 @@ def source_contamination(
     exchange as ``substring_dup_pairs``; the driver sees only
     O(P × sources²) pre-aggregated partial rows.
     """
-    from ..functions.hashing import char_ngram_hash2_stream, splitmix64
-
     P = num_partitions
-
-    def gram_rows(t: pa.Table) -> pa.Table:
-        texts = [s or "" for s in t["text"].to_pylist()]
-        h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
-        cnt = np.diff(offsets)
-        doc = np.repeat(
-            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), cnt
-        )
-        src = np.repeat(
-            np.asarray(t["source"].to_pylist(), dtype=object), cnt
-        )
-        order = np.lexsort((h2, h1, doc))
-        d, a, b = doc[order], h1[order], h2[order]
-        first = np.ones(len(d), dtype=bool)
-        if len(d) > 1:
-            first[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table(
-            {
-                "h1": pa.array(a[first].view(np.int64)),
-                "h2": pa.array(b[first].view(np.int64)),
-                "doc_id": pa.array(d[first]),
-                "source": pa.array(src[order][first], pa.string()),
-                "pkey": pa.array((a[first] % np.uint64(P)).astype(np.int64)),
-            }
-        )
 
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["h1", "h2", "doc_id"], kind="stable")
-        h1 = g["h1"].to_numpy()
-        h2 = g["h2"].to_numpy()
         ids = g["doc_id"].to_numpy()
         srcs = g["source"].to_numpy()
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-        starts = np.nonzero(new)[0]
-        sizes = np.diff(np.append(starts, len(g)))
-        a_all, b_all, sa_all, sb_all = [], [], [], []
-        for m in np.unique(sizes):
-            if m < 2:
-                continue
-            rs = starts[sizes == m]
-            pos = rs[:, None] + np.arange(m)[None, :]
-            if m <= max_group:
-                iu, ju = np.triu_indices(m, 1)
-                pi, pj = pos[:, iu].ravel(), pos[:, ju].ravel()
-            else:  # hot window: star (connectivity; counts lower-bounded)
-                pi = np.repeat(pos[:, 0], m - 1)
-                pj = pos[:, 1:].ravel()
-            a_all.append(ids[pi]); b_all.append(ids[pj])
-            sa_all.append(srcs[pi]); sb_all.append(srcs[pj])
-        if not a_all:
+        pi, pj = _window_pair_indices(
+            g["h1"].to_numpy(), g["h2"].to_numpy(), max_group,
+            "source_contamination",
+        )
+        if not len(pi):
             return typed_empty(id_a="int64", id_b="int64",
                                source_a="object", source_b="object",
                                pkey2="int64")
-        a = np.concatenate(a_all); b = np.concatenate(b_all)
-        sa = np.concatenate(sa_all); sb = np.concatenate(sb_all)
+        a, b = ids[pi], ids[pj]
+        sa, sb = srcs[pi], srcs[pj]
         swap = a > b
         a2 = np.where(swap, b, a); b2 = np.where(swap, a, b)
         sa2 = np.where(swap, sb, sa); sb2 = np.where(swap, sa, sb)
@@ -911,12 +900,9 @@ def source_contamination(
                           "source_a": sa2, "source_b": sb2})
             .drop_duplicates(["id_a", "id_b"])  # within-partition dedup
         )
-        pair_h = splitmix64(
-            out["id_a"].to_numpy().astype(np.uint64)
-            * np.uint64(0x9E3779B97F4A7C15)
-            ^ out["id_b"].to_numpy().astype(np.uint64)
+        out["pkey2"] = _pair_pkey(
+            out["id_a"].to_numpy(), out["id_b"].to_numpy(), P
         )
-        out["pkey2"] = (pair_h % np.uint64(P)).astype(np.int64)
         return out
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -933,7 +919,10 @@ def source_contamination(
 
     parts = (
         _docs(sf_dir, ["doc_id", "text", "source"])
-        .map_batches(gram_rows, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _distinct_gram_table(t, L, seed, P, carry_source=True),
+            batch_format="pyarrow",
+        )
         .groupby("pkey")
         .map_groups(group_pairs, batch_format="pandas")
         .groupby("pkey2")

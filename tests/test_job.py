@@ -92,3 +92,11 @@ def test_job_resume_from_checkpoint(ray_session, tiny_corpus, tmp_path):
     b = pd.read_parquet(m2["outputs"]["clusters"]).sort_values("image_id")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert m2["rows"] == m1["rows"]
+
+
+def test_job_grow_from_rejects_with_bytes(ray_session, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="with-bytes is not supported"):
+        run_job(_args("/tmp/nowhere", str(tmp_path / "o"),
+                      grow_from="/tmp/nociw", with_bytes=True))
