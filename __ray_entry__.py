@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pivot": relational.event_type_pivot,
         "customer_region_rollup": relational.customer_region_rollup,
         "user_event_lag": relational.user_event_lag,
+        "orders_above_customer_avg": relational.orders_above_customer_avg,
         # ---- text analysis over documents ---------------------------------
         "doc_stats": text_analysis.doc_stats,
         "doc_quality": text_analysis.doc_quality,
@@ -442,6 +443,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        # orders_above_customer_avg: integer cross-multiplication
+        # (price*n > sum) — no float average exists on either side
+        "orders_above_customer_avg": """
+            SELECT o_orderkey, o_custkey, price_cents FROM (
+                SELECT o_orderkey, o_custkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           OVER (PARTITION BY o_custkey) AS sum_cents,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS n
+                FROM orders)
+            WHERE price_cents * n > sum_cents
         """,
         "user_event_lag": """
             SELECT event_id, user_id,

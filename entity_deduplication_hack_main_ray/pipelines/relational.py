@@ -1337,3 +1337,52 @@ def user_event_lag(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
         prev_gap_us="int64", rn="int64",
     )
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def orders_above_customer_avg(
+    sf_dir: str, num_partitions: int = 32
+) -> pd.DataFrame:
+    """Per-group normalization filter (the correlated-subquery shape
+    ``price > AVG(price) OVER customer``): orders strictly above their own
+    customer's average price.
+
+    Exactness: the comparison is integer cross-multiplication —
+    ``price_cents * n_orders > sum_cents`` — identical on both engines, so
+    no float average ever exists to round differently. Scale shape: ONE
+    coarse ``groupby(custkey % P)`` exchange; each partition kernel holds
+    every order of its customers and computes the group sums with a
+    vectorized pandas transform — O(P) kernel invocations, no broadcast of
+    the per-customer aggregate table (O(customers) at 100 TB) and no
+    second pass over the fact table."""
+    P = num_partitions
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": pa.array((ck % P).astype(np.int64)),
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": pa.array(cents),
+            }
+        )
+
+    def above_avg(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("o_custkey")["price_cents"]
+        s = grp.transform("sum").to_numpy()
+        n = grp.transform("size").to_numpy()
+        keep = g["price_cents"].to_numpy() * n > s
+        return g.loc[keep, ["o_orderkey", "o_custkey", "price_cents"]]
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(above_avg, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(
+        out, o_orderkey="int64", o_custkey="int64", price_cents="int64"
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)

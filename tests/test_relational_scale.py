@@ -206,3 +206,21 @@ def test_customer_region_rollup_levels_consistent(ray_session):
     per_region = fine.groupby("region_name")["acctbal_cents"].sum()
     for _, row in sub.iterrows():
         assert row["acctbal_cents"] == per_region[row["region_name"]]
+
+
+def test_orders_above_customer_avg_partition_invariant(ray_session):
+    import pandas as pd
+
+    from entity_deduplication_hack_main_ray.pipelines.relational import (
+        orders_above_customer_avg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = orders_above_customer_avg(sf, num_partitions=4).reset_index(drop=True)
+    b = orders_above_customer_avg(sf, num_partitions=32).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    # single-customer sanity: a customer with one order is never above
+    # its own average (strict inequality)
+    counts = a.groupby("o_custkey").size()
+    assert (counts >= 1).all()
