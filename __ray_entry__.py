@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_pairs": text_dedup.substring_dup_pairs,
         "source_contamination": text_dedup.source_contamination,
         "substring_dedup_docs": text_dedup.substring_dedup_docs,
+        "leakage_free_split": text_dedup.leakage_free_split,
         "simhash_near_pairs": text_dedup.simhash_near_pairs,
         # ---- similarity search over embeddings ----------------------------
         "ann_cosine_topk": ann.brute_force_cosine_topk,
@@ -401,6 +402,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "leakage_free_split": """
+            WITH rep AS (
+              SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY text) AS rep_id
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, rep_id,
+                     CAST(((CAST(rep_id AS HUGEINT) * 2654435761)
+                           % 18446744073709551616) % 100 AS BIGINT) AS bucket
+              FROM rep
+            )
+            SELECT doc_id, rep_id,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "ann_cosine_topk": """
             WITH q AS (

@@ -89,6 +89,74 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
 
 
+def leakage_free_split(
+    sf_dir: str, train_pct: int = 80, val_pct: int = 10
+) -> pd.DataFrame:
+    """Cluster-aware deterministic train/val/test split (decontamination
+    primitive): every exact-duplicate text group lands WHOLLY in one
+    split, so no verbatim eval document leaks into train — the train/test
+    overlap failure the dedup literature reports for web corpora when
+    splits are drawn per-document instead of per-duplicate-group.
+
+    The split is a pure function of the group REPRESENTATIVE (min doc_id
+    over the identical-text group): ``bucket = (rep * 2654435761) mod 2^64
+    mod 100`` (Knuth multiplicative hash, uint64 wrap) → ``train`` if
+    bucket < train_pct, ``val`` if < train_pct + val_pct, else ``test``.
+    No RNG, no global sort — assignments are reproducible across runs,
+    partition counts and cluster sizes, and STABLE under corpus growth
+    (new docs never move an existing group's split unless they lower its
+    min doc_id).
+
+    Scale shape (same plan as :func:`exact_dedup`): ONE exchange keyed on
+    a coarse content-hash partition (``fp64 % P`` — identical texts
+    co-locate; hash collisions are harmless because the kernel groups by
+    the TEXT within the partition), then a vectorized pandas
+    ``transform("min")`` + uint64 bucket per partition → O(P)
+    group-function calls, not one per distinct text. The text column
+    rides the exchange once (required for exact grouping); the output
+    carries only ``(doc_id, rep_id, split)``.
+    """
+    from ..functions import text as tx
+
+    P = 64
+    thr_val = train_pct + val_pct
+
+    def keyed(t: pa.Table) -> pa.Table:
+        fp = tx.fingerprint64_batch(t["text"].to_pylist())
+        pkey = (
+            np.asarray(fp, dtype=np.int64).view(np.uint64) % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table(
+            {"pkey": pa.array(pkey), "doc_id": t["doc_id"], "text": t["text"]}
+        )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby("text")["doc_id"].transform("min").to_numpy()
+        bucket = (rep.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(100)
+        split = np.where(
+            bucket < train_pct, "train", np.where(bucket < thr_val, "val", "test")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "rep_id": rep.astype(np.int64),
+                "split": split,
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(assign, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", rep_id="int64", split="object")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "rep_id", "split"]
+    ]
+
+
 class DocSigner:
     """Signature stage for plain documents (MinHash + SimHash + band keys),
     sharing the corpus Signer's kernels and seeding. Used as a TASK-pool

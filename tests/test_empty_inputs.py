@@ -44,6 +44,7 @@ CASES = [
     ("approx_user_counts", ["event_type", "approx_users"]),
     ("order_price_quantiles", ["q_bp", "price_cents"]),
     ("substring_dedup_docs", ["doc_id", "cluster_id"]),
+    ("leakage_free_split", ["doc_id", "rep_id", "split"]),
     ("source_contamination", ["source_a", "source_b", "n_pairs"]),
     ("substring_dup_pairs", ["id_a", "id_b", "n_shared_grams"]),
     ("events_value_range_join", ["id_a", "id_b", "value_diff_cents"]),

@@ -22,6 +22,83 @@ def test_exact_dedup_keeps_min_doc_id(ray_session):
     assert out["doc_id"].tolist() == expected["doc_id"].tolist()
 
 
+def test_leakage_free_split_matches_oracle(ray_session):
+    """Engine split == DuckDB oracle (the driver's check, run locally at
+    sf0.001), and the decontamination invariant holds: identical-text docs
+    share one split, all three splits are non-empty, train is largest."""
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        leakage_free_split,
+    )
+
+    out = leakage_free_split(SF)
+    expected = duckdb.sql(
+        f"""
+        WITH rep AS (
+          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS rep_id
+          FROM read_parquet('{SF}/documents.parquet')
+        )
+        SELECT doc_id, rep_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, rep_id,
+                     CAST(((CAST(rep_id AS HUGEINT) * 2654435761)
+                           % 18446744073709551616) % 100 AS BIGINT) AS b
+              FROM rep)
+        ORDER BY doc_id
+        """
+    ).fetchdf()
+    assert out["doc_id"].tolist() == expected["doc_id"].tolist()
+    assert out["rep_id"].tolist() == expected["rep_id"].tolist()
+    assert out["split"].tolist() == expected["split"].tolist()
+
+    by_rep = out.groupby("rep_id")["split"].nunique()
+    assert (by_rep == 1).all()  # a duplicate group never straddles splits
+    counts = out["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_leakage_free_split_stable_under_growth(ray_session):
+    """Appending NEW docs (higher doc_ids) must not move any existing
+    group's split — the property that makes the split usable on a corpus
+    ingested incrementally."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        leakage_free_split,
+    )
+
+    base = pq.read_table(f"{SF}/documents.parquet")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        pq.write_table(base, os.path.join(d1, "documents.parquet"))
+        start = int(pa.compute.max(base["doc_id"]).as_py()) + 1
+        extra = pa.table(
+            {
+                "doc_id": pa.array(
+                    [start + i for i in range(10)], pa.int64()
+                ),
+                "text": pa.array([f"brand new document {i}" for i in range(10)]),
+                "lang": pa.array(["en"] * 10),
+                "source": pa.array(["growth"] * 10),
+                "n_chars": pa.array([20] * 10, pa.int64()),
+            }
+        )
+        grown = pa.concat_tables(
+            [base.select(extra.column_names), extra]
+        )
+        pq.write_table(grown, os.path.join(d2, "documents.parquet"))
+        before = leakage_free_split(d1).set_index("doc_id")["split"]
+        after = leakage_free_split(d2).set_index("doc_id")["split"]
+    assert after.loc[before.index].equals(before)
+
+
 def test_minhash_lsh_groups_exact_duplicates(ray_session):
     """Any two docs with IDENTICAL text must land in one cluster (their
     MinHash signatures are identical, so they share every band bucket)."""
