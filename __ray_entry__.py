@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_contamination": text_dedup.source_contamination,
         "substring_dedup_docs": text_dedup.substring_dedup_docs,
         "leakage_free_split": text_dedup.leakage_free_split,
+        "decontaminate_docs": text_dedup.decontaminate_docs,
         "simhash_near_pairs": text_dedup.simhash_near_pairs,
         # ---- similarity search over embeddings ----------------------------
         "ann_cosine_topk": ann.brute_force_cosine_topk,
@@ -402,6 +403,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "decontaminate_docs": """
+            WITH ev AS (
+              SELECT DISTINCT sub FROM (
+                SELECT UNNEST([SUBSTR(text, i, 40)
+                               FOR i IN GENERATE_SERIES(1, LEN(text) - 39)])
+                       AS sub
+                FROM documents WHERE source = 'src0')
+            ),
+            tr AS (
+              SELECT doc_id,
+                     UNNEST([SUBSTR(text, i, 40)
+                             FOR i IN GENERATE_SERIES(1, LEN(text) - 39)])
+                     AS sub
+              FROM documents WHERE source <> 'src0'
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(DISTINCT t.sub) AS n_hits
+              FROM tr t JOIN ev e ON t.sub = e.sub GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN COALESCE(h.n_hits, 0) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "leakage_free_split": """
             WITH rep AS (

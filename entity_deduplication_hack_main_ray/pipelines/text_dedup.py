@@ -1007,3 +1007,135 @@ def source_contamination(
     )
     out["n_pairs"] = out["n_pairs"].astype(np.int64)
     return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def _member128(
+    a: np.ndarray, b: np.ndarray, e1: np.ndarray, e2: np.ndarray
+) -> np.ndarray:
+    """Exact membership of dual-64-bit window hashes (a, b) in the eval
+    set (e1, e2), which must be lexsorted by (e1, e2). Vectorized binary
+    search on the first half; the second half resolves by direct index for
+    the overwhelmingly common run-length-1 case, with a tiny Python loop
+    only over h1 collisions INSIDE the eval set (~never at 64 bits)."""
+    out = np.zeros(len(a), dtype=bool)
+    if not len(a) or not len(e1):
+        return out
+    lo = np.searchsorted(e1, a, "left")
+    hi = np.searchsorted(e1, a, "right")
+    single = hi - lo == 1
+    out[single] = e2[lo[single]] == b[single]
+    for i in np.nonzero(hi - lo > 1)[0]:
+        out[i] = b[i] in e2[lo[i] : hi[i]]
+    return out
+
+
+def decontaminate_docs(
+    sf_dir: str,
+    eval_source: str = "src0",
+    L: int = 40,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Broadcast eval-set decontamination filter — the operation LLM data
+    pipelines run before training: flag (and drop) every training document
+    that shares an exact ``L``-character substring with a held-out eval
+    set, so benchmark text cannot leak into train. Complements
+    ``source_contamination`` (the pairwise REPORT, one shuffle): this is
+    the per-document FILTER, and its physical plan has NO exchange at all.
+
+    Scale shape: the eval side is small by definition (a benchmark — docs
+    ≪ corpus), so its distinct window hashes are reduced per-batch,
+    collected once on the driver and broadcast via ``ray.put`` (read by
+    every probe task, never re-shipped per batch). The train side streams
+    through ONE ``map_batches`` that probes the sorted hash set with
+    vectorized binary search — embarrassingly parallel, O(corpus) work,
+    zero shuffle. Windows use the substring family's dual 64-bit
+    polynomial hashes (collision-free in practice ⇒ exact semantics, same
+    contract as ``substring_dup_pairs``), verified bit-exact against a
+    DuckDB substring semi-join oracle.
+
+    Returns one row per NON-eval document: ``(doc_id, n_hits, keep)``
+    where ``n_hits`` counts the doc's distinct windows found in the eval
+    set and ``keep = 1`` iff ``n_hits == 0``.
+    """
+    import ray
+
+    from ..functions.hashing import char_ngram_hash2_stream
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.equal(t["source"], eval_source))
+        texts = [s or "" for s in tt["text"].to_pylist()]
+        h1, h2, _ = char_ngram_hash2_stream(texts, L, seed)
+        if len(h1):
+            order = np.lexsort((h2, h1))
+            h1, h2 = h1[order], h2[order]
+            first = np.ones(len(h1), dtype=bool)
+            first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+            h1, h2 = h1[first], h2[first]
+        return pa.table(
+            {"h1": pa.array(h1.view(np.int64)), "h2": pa.array(h2.view(np.int64))}
+        )
+
+    # predicate pushdown: only eval row groups leave storage (the kernel
+    # re-filters, so the pushdown is an optimization, not a correctness
+    # dependency)
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text", "source"],
+            filter=pc.field("source") == eval_source,
+        )
+        .map_batches(eval_hashes, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ev = ensure_cols(ev, h1="int64", h2="int64")  # empty-input schema guard
+    e1 = ev["h1"].to_numpy(dtype=np.int64, copy=True).view(np.uint64)
+    e2 = ev["h2"].to_numpy(dtype=np.int64, copy=True).view(np.uint64)
+    order = np.lexsort((e2, e1))
+    e1, e2 = e1[order], e2[order]
+    if len(e1):
+        first = np.ones(len(e1), dtype=bool)
+        first[1:] = (e1[1:] != e1[:-1]) | (e2[1:] != e2[:-1])
+        e1, e2 = e1[first], e2[first]
+    ev_ref = ray.put((e1, e2))
+
+    def probe(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.not_equal(t["source"], eval_source))
+        ev1, ev2 = ray.get(ev_ref)
+        texts = [s or "" for s in tt["text"].to_pylist()]
+        h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
+        cnt = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(texts)), cnt)
+        # per-doc distinct windows (n_hits counts DISTINCT leaked windows)
+        order = np.lexsort((h2, h1, doc_idx))
+        d, a, b = doc_idx[order], h1[order], h2[order]
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            first[1:] = (
+                (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            )
+        d, a, b = d[first], a[first], b[first]
+        hit = _member128(a, b, ev1, ev2)
+        n_hits = np.bincount(
+            d[hit], minlength=len(texts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": tt["doc_id"],
+                "n_hits": pa.array(n_hits),
+                "keep": pa.array((n_hits == 0).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+            filter=pc.field("source") != eval_source,
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", n_hits="int64", keep="int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_hits", "keep"]
+    ]

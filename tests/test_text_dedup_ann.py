@@ -99,6 +99,83 @@ def test_leakage_free_split_stable_under_growth(ray_session):
     assert after.loc[before.index].equals(before)
 
 
+def test_decontaminate_docs_matches_oracle(ray_session):
+    """Engine == DuckDB substring semi-join oracle at sf0.001, and the
+    result is non-vacuous (the fixture corpus has real cross-source
+    ≥40-char leaks into src0)."""
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        decontaminate_docs,
+    )
+
+    out = decontaminate_docs(SF)
+    expected = duckdb.sql(
+        f"""
+        WITH ev AS (SELECT DISTINCT sub FROM (
+          SELECT UNNEST([SUBSTR(text, i, 40)
+                         FOR i IN GENERATE_SERIES(1, LEN(text)-39)]) AS sub
+          FROM read_parquet('{SF}/documents.parquet') WHERE source='src0')),
+        tr AS (SELECT doc_id,
+                      UNNEST([SUBSTR(text, i, 40)
+                              FOR i IN GENERATE_SERIES(1, LEN(text)-39)]) AS sub
+               FROM read_parquet('{SF}/documents.parquet')
+               WHERE source<>'src0'),
+        hits AS (SELECT doc_id, COUNT(DISTINCT t.sub) AS n_hits
+                 FROM tr t JOIN ev e ON t.sub=e.sub GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+               CASE WHEN COALESCE(h.n_hits, 0) = 0 THEN 1 ELSE 0 END AS keep
+        FROM (SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+              WHERE source<>'src0') d
+        LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+        """
+    ).fetchdf()
+    assert out["doc_id"].tolist() == expected["doc_id"].tolist()
+    assert out["n_hits"].tolist() == expected["n_hits"].tolist()
+    assert out["keep"].tolist() == expected["keep"].tolist()
+    assert (out["keep"] == 0).sum() > 0  # real leaks exist in the fixture
+
+
+def test_decontaminate_docs_crafted_leak(ray_session):
+    """A train doc embedding a verbatim 40-char passage from an eval doc is
+    flagged; an unrelated doc and a doc sharing only a SHORT (<40) overlap
+    are kept."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        decontaminate_docs,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog!"  # 45 chars
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    f"benchmark question: {passage} answer here",
+                    f"scraped page copying {passage} word for word",
+                    "completely unrelated content with no overlap at all xyz",
+                    "short shared bit: quick brown fox only here",  # < 40 shared
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["evalset", "web", "web", "web"]),
+            "n_chars": pa.array([0, 0, 0, 0], pa.int64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        out = decontaminate_docs(d, eval_source="evalset").set_index("doc_id")
+    assert 1 not in out.index  # eval docs are not in the output
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "n_hits"] > 0
+    assert out.loc[3, "keep"] == 1 and out.loc[3, "n_hits"] == 0
+    assert out.loc[4, "keep"] == 1 and out.loc[4, "n_hits"] == 0
+
+
 def test_minhash_lsh_groups_exact_duplicates(ray_session):
     """Any two docs with IDENTICAL text must land in one cluster (their
     MinHash signatures are identical, so they share every band bucket)."""
