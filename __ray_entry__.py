@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": text_analysis.gopher_repetition,
         "repeated_passages": text_analysis.repeated_passages,
         "top_words": text_analysis.top_words,
+        "stratified_sample": text_analysis.stratified_sample,
         # ---- multimodal: audio + video legs (deterministic synth clip per
         # doc → actor-pool stages; encode→decode→analysis end-to-end,
         # value-pinned pytests)
@@ -403,6 +404,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CAST(((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                           % 18446744073709551616) % 100 AS BIGINT) AS bucket
+              FROM documents
+            )
+            SELECT doc_id, lang, bucket FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 40
+                                     WHEN 'de' THEN 100
+                                     ELSE 60 END
         """,
         "decontaminate_docs": """
             WITH ev AS (

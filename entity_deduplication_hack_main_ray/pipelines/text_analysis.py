@@ -381,3 +381,55 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     )
     out = ensure_cols(out, doc_id="int64", fingerprint="int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def stratified_sample(
+    sf_dir: str,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 60,
+) -> pd.DataFrame:
+    """Deterministic stratified sampling — the data-MIXING primitive of
+    corpus curation: keep ``rates[stratum]`` percent of each language
+    stratum (down-weight over-represented languages, keep all of a rare
+    one) with NO randomness. A document is kept iff
+    ``bucket(doc_id) < rates.get(lang, default_rate)`` where ``bucket =
+    (doc_id * 11400714819323198485) mod 2^64 mod 100`` (golden-ratio odd
+    multiplier — deliberately a DIFFERENT mixer than
+    ``leakage_free_split``'s, so sample membership is uncorrelated with
+    split assignment).
+
+    Properties that matter at corpus scale: reproducible across runs,
+    partition counts and cluster sizes (pure function of doc_id);
+    monotone in the rate (raising a stratum's rate only ADDS documents,
+    so mixture experiments are nested subsets); zero shuffle — one
+    embarrassingly parallel ``map_batches`` over a 2-column pruned read.
+
+    Returns the kept rows ``(doc_id, lang, bucket)``.
+    """
+    rates = {"en": 40, "de": 100} if rates is None else rates
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (ids * np.uint64(11400714819323198485)) % np.uint64(100)
+        rate = (
+            pd.Series(t["lang"].to_pylist())
+            .map(rates)
+            .fillna(default_rate)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        keep = bucket < rate
+        kept = t.select(["doc_id", "lang"]).filter(pa.array(keep))
+        return kept.append_column(
+            "bucket", pa.array(bucket[keep].astype(np.int64))
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(sample, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", lang="object", bucket="int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "lang", "bucket"]
+    ]

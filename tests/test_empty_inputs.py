@@ -46,6 +46,7 @@ CASES = [
     ("substring_dedup_docs", ["doc_id", "cluster_id"]),
     ("leakage_free_split", ["doc_id", "rep_id", "split"]),
     ("decontaminate_docs", ["doc_id", "n_hits", "keep"]),
+    ("stratified_sample", ["doc_id", "lang", "bucket"]),
     ("source_contamination", ["source_a", "source_b", "n_pairs"]),
     ("substring_dup_pairs", ["id_a", "id_b", "n_shared_grams"]),
     ("events_value_range_join", ["id_a", "id_b", "value_diff_cents"]),

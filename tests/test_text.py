@@ -203,3 +203,35 @@ def test_top_words_deterministic_ties(ray_session, tmp_path):
     out = top_words(_write_docs(tmp_path, ["a a a b b", "c c d"]), k=2)
     assert list(out["word"]) == ["a", "b"]
     assert list(out["n"]) == [3, 2]
+
+
+def test_stratified_sample_semantics(ray_session):
+    """Oracle equality is covered by the parametrized driver-conformance
+    test; here: per-stratum rates are honored approximately, the sample is
+    deterministic, and raising a rate yields a NESTED superset (the
+    property that makes mixture experiments comparable)."""
+    from entity_deduplication_hack_main_ray.pipelines.text_analysis import (
+        stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = stratified_sample(sf)
+    assert (out["bucket"] >= 0).all() and (out["bucket"] < 100).all()
+    # de is kept at 100%: every de doc present (71 at sf0.001)
+    import pyarrow.parquet as pq
+
+    langs = (
+        pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"])
+        .to_pandas()
+    )
+    n_de = (langs["lang"] == "de").sum()
+    assert (out["lang"] == "de").sum() == n_de
+    # en at 40%: within a generous binomial band around 0.4
+    n_en = (langs["lang"] == "en").sum()
+    frac_en = (out["lang"] == "en").sum() / n_en
+    assert 0.25 < frac_en < 0.55
+    # deterministic
+    assert stratified_sample(sf).equals(out)
+    # monotone nesting: raising en 40 -> 70 only ADDS docs
+    bigger = stratified_sample(sf, rates={"en": 70, "de": 100})
+    assert set(out["doc_id"]) <= set(bigger["doc_id"])
