@@ -356,6 +356,31 @@ def fingerprint64_batch(texts: list[str], window: int = 8) -> np.ndarray:
     return np.minimum.reduceat(stream, offsets[:-1]).view(np.int64)
 
 
+def content_fingerprint128(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit whole-text content fingerprints as two int64 arrays
+    (blake2b, digest_size=16 — a cryptographic hash, so distinct texts
+    collide with p ≈ 2⁻¹²⁸: the same effective-exactness contract the
+    substring family's ``char_ngram_hash2_stream`` windows carry). Used by
+    the exact-dedup family so text equality can be decided from 16-byte
+    keys and the text column never rides an exchange.
+
+    Per-doc ``hashlib`` calls, not a numpy kernel: whole-text hashing is
+    inherently per-document and the C digest over the bytes dominates the
+    ~1 µs/doc call overhead for any non-trivial document."""
+    import hashlib
+
+    n = len(texts)
+    h1 = np.empty(n, dtype=np.int64)
+    h2 = np.empty(n, dtype=np.int64)
+    for i, s in enumerate(texts):
+        d = hashlib.blake2b(
+            (s or "").encode("utf-8", "surrogatepass"), digest_size=16
+        ).digest()
+        h1[i] = int.from_bytes(d[:8], "little", signed=True)
+        h2[i] = int.from_bytes(d[8:], "little", signed=True)
+    return h1, h2
+
+
 def fingerprint64(text: str, window: int = 8) -> int:
     """Scalar convenience wrapper over ``fingerprint64_batch``."""
     # module-level import (bottom of file) — a function-local package import

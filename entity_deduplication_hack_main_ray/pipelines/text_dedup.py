@@ -38,51 +38,81 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _fp128_keyed(t: pa.Table, P: int) -> pa.Table:
+    """(pkey, h1, h2, doc_id) rows for one batch: 128-bit content
+    fingerprints of the text (collision p ≈ 2⁻¹²⁸ — the substring family's
+    exactness contract), so the TEXT COLUMN NEVER CROSSES AN EXCHANGE in
+    the exact-dedup family: only 24-byte rows shuffle. Same-text rows
+    co-locate because pkey is a pure function of the fingerprint."""
+    from ..functions import text as tx
+
+    h1, h2 = tx.content_fingerprint128(t["text"].to_pylist())
+    pkey = (h1.view(np.uint64) % np.uint64(P)).astype(np.int64)
+    return pa.table(
+        {
+            "pkey": pa.array(pkey),
+            "h1": pa.array(h1),
+            "h2": pa.array(h2),
+            "doc_id": t["doc_id"],
+        }
+    )
+
+
 def exact_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact dedup (hash-partition + per-group first, A5): one row per
     distinct text with the minimum doc_id as representative.
 
-    The shuffle key is a 64-bit CONTENT HASH of the text (the 100 TB path —
-    a groupby on the raw text column would sort multi-KB strings through
-    the exchange). Plan shape: per-batch PARTIAL dedup (each batch keeps one
-    min-doc_id row per distinct text — vectorized sort + drop_duplicates),
-    ONE exchange on ``hash % P`` coarse partitions, then the same vectorized
-    kernel per partition — O(P) group-function calls, not one Python call
-    per distinct text (the round-2 ``groupby(fp)`` shape). Same-text rows
-    co-locate because the partition key is a pure function of the text;
-    hash collisions are harmless (dedup is per TEXT inside the kernel), so
-    the result is byte-identical to grouping by the text itself.
+    The exchange payload is a 128-bit CONTENT FINGERPRINT, never the text
+    (the 100 TB path — shuffling multi-KB strings to group them is pure
+    waste when a 16-byte key carries the same equality contract, collision
+    p ≈ 2⁻¹²⁸, exactly like the substring family's
+    ``char_ngram_hash2_stream`` windows). Plan shape: per-batch PARTIAL
+    dedup (each batch keeps one min-doc_id row per distinct fingerprint —
+    vectorized sort + drop_duplicates), ONE exchange of (pkey, h1, h2,
+    doc_id) rows on ``h1 % P`` coarse partitions, the same vectorized
+    kernel per partition — O(P) group-function calls — and finally the
+    representatives' texts are fetched with the ``psnr_spot_check``
+    broadcast ``is_in`` semi-join (the winner set is the small side; the
+    corpus streams through one exchange-free probe).
     """
-    from ..functions import text as tx
-
     P = 64
 
     def partial(t: pa.Table) -> pa.Table:
-        fp = tx.fingerprint64_batch(t["text"].to_pylist())
         g = (
-            t.append_column("fp", pa.array(fp, pa.int64()))
+            _fp128_keyed(t, P)
             .to_pandas()
             .sort_values("doc_id", kind="stable")
-            .drop_duplicates("text")
-        )
-        g["pkey"] = (g["fp"].to_numpy().view(np.uint64) % np.uint64(P)).astype(
-            np.int64
+            .drop_duplicates(["h1", "h2"])
         )
         return pa.Table.from_pandas(
-            g[["pkey", "doc_id", "text"]], preserve_index=False
+            g[["pkey", "h1", "h2", "doc_id"]], preserve_index=False
         )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.sort_values("doc_id", kind="stable")
-            .drop_duplicates("text")[["doc_id", "text"]]
+            .drop_duplicates(["h1", "h2"])[["doc_id"]]
         )
 
-    out = (
+    reps = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if reps.empty:
+        return typed_empty(doc_id="int64", text="object")
+    id_ref = ray.put(
+        pa.array(np.sort(reps["doc_id"].to_numpy(dtype=np.int64)), pa.int64())
+    )
+
+    def fetch(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(id_ref)))
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fetch, batch_format="pyarrow")
         .to_pandas()
     )
     out = ensure_cols(out, doc_id="int64", text="object")
@@ -107,31 +137,23 @@ def leakage_free_split(
     (new docs never move an existing group's split unless they lower its
     min doc_id).
 
-    Scale shape (same plan as :func:`exact_dedup`): ONE exchange keyed on
-    a coarse content-hash partition (``fp64 % P`` — identical texts
-    co-locate; hash collisions are harmless because the kernel groups by
-    the TEXT within the partition), then a vectorized pandas
+    Scale shape (same plan as :func:`exact_dedup`): ONE exchange of
+    (pkey, h1, h2, doc_id) rows keyed on a coarse partition of the 128-bit
+    content fingerprint — the TEXT NEVER CROSSES THE EXCHANGE (fingerprint
+    equality ≡ text equality at collision p ≈ 2⁻¹²⁸, the substring
+    family's exactness contract) — then a vectorized pandas
     ``transform("min")`` + uint64 bucket per partition → O(P)
-    group-function calls, not one per distinct text. The text column
-    rides the exchange once (required for exact grouping); the output
-    carries only ``(doc_id, rep_id, split)``.
+    group-function calls, not one per distinct text. The output carries
+    only ``(doc_id, rep_id, split)``.
     """
-    from ..functions import text as tx
-
     P = 64
     thr_val = train_pct + val_pct
 
     def keyed(t: pa.Table) -> pa.Table:
-        fp = tx.fingerprint64_batch(t["text"].to_pylist())
-        pkey = (
-            np.asarray(fp, dtype=np.int64).view(np.uint64) % np.uint64(P)
-        ).astype(np.int64)
-        return pa.table(
-            {"pkey": pa.array(pkey), "doc_id": t["doc_id"], "text": t["text"]}
-        )
+        return _fp128_keyed(t, P)
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
-        rep = g.groupby("text")["doc_id"].transform("min").to_numpy()
+        rep = g.groupby(["h1", "h2"])["doc_id"].transform("min").to_numpy()
         bucket = (rep.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(100)
         split = np.where(
             bucket < train_pct, "train", np.where(bucket < thr_val, "val", "test")
@@ -203,20 +225,39 @@ def _doc_signer_for(cfg: PipelineConfig, chash: str) -> DocSigner:
     return s
 
 
-def _signed(
-    sf_dir: str, cfg: PipelineConfig, carry_text: bool = False
-) -> ray.data.Dataset:
+def _signed(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
     chash = cfg.config_hash()
 
     def sign(t: pa.Table) -> pa.Table:
-        out = _doc_signer_for(cfg, chash)(t)
-        if carry_text:  # payload carried through the shuffle (B3 pattern)
-            out = out.append_column("text", t["text"])
-        return out
+        return _doc_signer_for(cfg, chash)(t)
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         sign, batch_format="pyarrow", batch_size=None
     )
+
+
+# (sf_dir, config_hash) → materialized signature Dataset. Two purposes:
+# * SIGN ONCE PER QUERY: hot-band-key discovery used to run a SECOND full
+#   read+re-sign of the corpus to build the ownership-transfer set — at
+#   100 TB an entire extra pass over the dominant stage. Both the hot-key
+#   count and the main band explode now consume the same pinned blocks,
+#   so each query has exactly one ReadParquet→sign chain.
+# * SIGN ONCE PER SESSION: the driver runs minhash/simhash/ngram dedup
+#   queries back to back over the same documents; the signature table is
+#   a pure function of (sf_dir, config_hash), so it is shared across them
+#   (the text-dedup sibling of corpus_dedup._RESULT_CACHE).
+# The pinned table is compact — (doc_id, digest, simhash, keys[bands]) ≈
+# 24 + 8·bands bytes/doc, no text — and the object store spills it if a
+# node's share outgrows memory, so materializing is safe at scale.
+_SIGNED_CACHE: dict[tuple[str, str], ray.data.Dataset] = {}
+
+
+def _signed_cached(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
+    key = (sf_dir, cfg.config_hash())
+    ds = _SIGNED_CACHE.get(key)
+    if ds is None:
+        ds = _SIGNED_CACHE[key] = _signed(sf_dir, cfg).materialize()
+    return ds
 
 
 def _pad20(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
@@ -247,7 +288,7 @@ def minhash_lsh_dedup(sf_dir: str, cfg: PipelineConfig | None = None) -> pd.Data
     distributed apply — the edge list is never ``.to_pandas()``'d whole.
     """
     cfg = cfg or PipelineConfig()
-    signed = _signed(sf_dir, cfg)
+    signed = _signed_cached(sf_dir, cfg)
     P = 64  # coarse shuffle partitions (see stages/candidates.py rationale)
     cands = _explode_with_keys(signed, P, ["doc_id", "digest"])
 
@@ -354,7 +395,7 @@ def simhash_signatures_table(sf_dir: str, cfg: PipelineConfig | None = None) -> 
     """Per-doc 64-bit SimHash (near-dup signature family #2)."""
     cfg = cfg or PipelineConfig()
     out = (
-        _signed(sf_dir, cfg)
+        _signed_cached(sf_dir, cfg)
         .select_columns(["doc_id", "simhash"])
         .to_pandas()
     )
@@ -513,28 +554,26 @@ def ngram_jaccard_pairs(
     """n-gram Jaccard near-dup pairs: LSH candidates → exact shingle-set
     Jaccard verification ≥ threshold. Returns (id_a, id_b, jaccard).
 
-    Fully distributed: the document TEXT is carried through the one shuffle
-    as pair payload (exactly like the flagship carries captions) and the
-    exact Jaccard runs in a downstream task-pool map_batches with a
-    per-worker shingle-set cache — no driver-side table materialization,
-    and ownership makes every pair unique without a dedup exchange.
+    Scale shape: the band explode and the ONE shuffle move ONLY id +
+    signature-key rows — the document text never rides an exchange (the
+    round-3 design replicated each text ×bands through the shuffle as pair
+    payload). Candidate pairs come out id-only with min-shared-key
+    ownership (globally unique, no dedup exchange); the pair-incident
+    documents — the small side, bounded by candidate volume — are then
+    fetched with the ``psnr_spot_check`` broadcast ``is_in`` semi-join,
+    shingled once per doc in that probe stage, broadcast as sorted unique
+    hash arrays, and verified VECTORIZED (``searchsorted`` array
+    intersection, not a per-pair Python/frozenset loop over texts).
     """
-    import ray
-
     cfg = cfg or PipelineConfig()
-    signed = _signed(sf_dir, cfg, carry_text=True)
+    signed = _signed_cached(sf_dir, cfg)  # sign ONCE (session cache)
     P = 64
-    cands = _explode_with_keys(signed, P, ["doc_id", "text"])
+    cands = _explode_with_keys(signed, P, ["doc_id"])
 
     max_bucket = cfg.max_bucket
-    # hot-key transfer set: one cheap pre-aggregated pass over a text-free
-    # re-sign (signatures only; the text payload never moves twice)
-    hot_ref = ray.put(
-        _hot_band_keys(
-            _explode_with_keys(_signed(sf_dir, cfg), P, ["doc_id"]),
-            max_bucket,
-        )
-    )
+    # hot-key transfer set: a pre-aggregated count over the SAME pinned
+    # signature blocks (no second read+sign pass of the corpus)
+    hot_ref = ray.put(_hot_band_keys(cands, max_bucket))
 
     def emit(g: pa.Table) -> pa.Table:
         ia, ib = _owned_bucket_pairs(g, max_bucket, ray.get(hot_ref))
@@ -543,49 +582,90 @@ def ngram_jaccard_pairs(
                 {
                     "id_a": pa.array([], pa.int64()),
                     "id_b": pa.array([], pa.int64()),
-                    "text_a": pa.array([], pa.string()),
-                    "text_b": pa.array([], pa.string()),
                 }
             )
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        texts = g["text"].to_pylist()
-        swap = ids[ia] > ids[ib]
-        ia, ib = np.where(swap, ib, ia), np.where(swap, ia, ib)
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
         return pa.table(
             {
-                "id_a": pa.array(ids[ia], pa.int64()),
-                "id_b": pa.array(ids[ib], pa.int64()),
-                "text_a": pa.array([texts[i] for i in ia], pa.string()),
-                "text_b": pa.array([texts[i] for i in ib], pa.string()),
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
             }
         )
 
-    shingle_k, seed = cfg.shingle_k, cfg.seed
-    _cache: dict[str, frozenset] = {}
+    # small verified-candidate set: pin it so the id sweep below and the
+    # verify stage don't re-execute the shuffle
+    pairs = cands.groupby("pkey").map_groups(
+        emit, batch_format="pyarrow"
+    ).materialize()
 
-    def shingles(text: str) -> frozenset:
-        s = _cache.get(text)
-        if s is None:
-            if len(_cache) > 500_000:
-                _cache.clear()
-            s = _cache[text] = frozenset(
-                shingle_hashes(text.lower(), shingle_k, seed).tolist()
-            )
-        return s
+    need: set[int] = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        need.update(b["id_a"].to_pylist())
+        need.update(b["id_b"].to_pylist())
+    if not need:
+        return typed_empty(id_a="int64", id_b="int64", jaccard="float64")
+    id_ref = ray.put(pa.array(sorted(need), pa.int64()))
+
+    shingle_k, seed = cfg.shingle_k, cfg.seed
+
+    def fetch_shingles(t: pa.Table) -> pa.Table:
+        """Semi-join probe: keep pair-incident docs only, emit each doc's
+        sorted unique shingle-hash array (``shingle_hashes`` is the exact
+        per-doc kernel the Jaccard semantics are defined over — short
+        texts shrink the window rather than NUL-pad, matching the
+        all-pairs SQL oracle's SUBSTRING behavior)."""
+        tt = t.filter(pc.is_in(t["doc_id"], value_set=ray.get(id_ref)))
+        texts = tt["text"].to_pylist()
+        arrs = [
+            shingle_hashes((s or "").lower(), shingle_k, seed).view(np.int64)
+            for s in texts
+        ]
+        offs = np.zeros(len(arrs) + 1, dtype=np.int32)
+        if arrs:
+            np.cumsum([len(a) for a in arrs], out=offs[1:])
+        values = (
+            np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": tt["doc_id"],
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(values, pa.int64())
+                ),
+            }
+        )
+
+    shdf = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(fetch_shingles, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sh_ref = ray.put(
+        {
+            int(d): np.asarray(a, dtype=np.int64).view(np.uint64)
+            for d, a in zip(shdf["doc_id"], shdf["sh"])
+        }
+    )
 
     def verify(t: pa.Table) -> pa.Table:
-        id_a = t["id_a"].to_pylist()
-        id_b = t["id_b"].to_pylist()
-        ta = t["text_a"].to_pylist()
-        tb = t["text_b"].to_pylist()
+        sh = ray.get(sh_ref)
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
         o_a, o_b, o_j = [], [], []
-        for i in range(len(id_a)):
-            sa, sb = shingles(ta[i]), shingles(tb[i])
-            inter = len(sa & sb)
+        for i in range(len(ia)):
+            sa, sb = sh[int(ia[i])], sh[int(ib[i])]
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            # sorted unique arrays: membership by binary search
+            pos = np.searchsorted(sb, sa)
+            pos[pos == len(sb)] = 0
+            inter = int(np.count_nonzero(sb[pos] == sa))
             j = inter / (len(sa) + len(sb) - inter)
             if j >= threshold:
-                o_a.append(id_a[i])
-                o_b.append(id_b[i])
+                o_a.append(int(ia[i]))
+                o_b.append(int(ib[i]))
                 o_j.append(j)
         return pa.table(
             {
@@ -595,20 +675,11 @@ def ngram_jaccard_pairs(
             }
         )
 
-    out = (
-        cands.groupby("pkey")
-        .map_groups(emit, batch_format="pyarrow")
-        .map_batches(verify, batch_format="pyarrow", batch_size=4096)
-        .to_pandas()
-    )
+    out = pairs.map_batches(
+        verify, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
     if out.empty:
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "jaccard": pd.Series(dtype="float64"),
-            }
-        )
+        return typed_empty(id_a="int64", id_b="int64", jaccard="float64")
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -622,8 +693,11 @@ def _simhash_edge_dataset(
     Fully distributed: chunk keys explode per doc (each row carrying all 4
     keys for ownership), ONE groupby(pkey) shuffle, vectorized Hamming
     verification inside the group kernel — no driver-side signature pull.
+    Signatures come from the session cache (``_signed_cached``) and the
+    hot-key transfer set is counted over the SAME exploded stream — one
+    ReadParquet→sign chain per (sf_dir, config) per session, no re-sign.
     """
-    signed = _signed(sf_dir, cfg)
+    signed = _signed_cached(sf_dir, cfg)
     seed = cfg.seed
     P = 64
 
@@ -654,16 +728,8 @@ def _simhash_edge_dataset(
         )
 
     max_bucket = 512
-    import ray
-
-    hot_ref = ray.put(
-        _hot_band_keys(
-            _signed(sf_dir, cfg).map_batches(
-                chunk_explode, batch_format="pyarrow"
-            ),
-            max_bucket,
-        )
-    )
+    exploded = signed.map_batches(chunk_explode, batch_format="pyarrow")
+    hot_ref = ray.put(_hot_band_keys(exploded, max_bucket))
 
     def emit(g: pa.Table) -> pa.Table:
         ia, ib = _owned_bucket_pairs(g, max_bucket, ray.get(hot_ref))
@@ -689,11 +755,7 @@ def _simhash_edge_dataset(
             }
         )
 
-    return (
-        signed.map_batches(chunk_explode, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(emit, batch_format="pyarrow")
-    )
+    return exploded.groupby("pkey").map_groups(emit, batch_format="pyarrow")
 
 
 def simhash_near_pairs(
