@@ -110,8 +110,10 @@ def run_job(args: argparse.Namespace) -> dict:
             with_bytes=args.with_bytes,
             num_partitions=args.partitions,
         )
-    edges_path = os.path.join(args.out, "edges")
-    clusters_path = os.path.join(args.out, "clusters")
+    from .state.checkpoint import join_path, list_stage_manifests, resolve_fs, write_json
+
+    edges_path = join_path(args.out, "edges")
+    clusters_path = join_path(args.out, "clusters")
     # pin both before write: edges is already materialized (or parquet-
     # checkpointed) by dedup_pipeline, but clusters is lazy on the
     # no-ckpt path — without this the count() below would re-execute the
@@ -140,31 +142,29 @@ def run_job(args: argparse.Namespace) -> dict:
     if args.ckpt:
         # per-stage lineage from the checkpoint manifests (rows, wall,
         # throughput) — the north_rule's per-partition metrics surfaced in
-        # one place
-        stages = {}
-        for stage in sorted(os.listdir(args.ckpt)):
-            mf = os.path.join(args.ckpt, stage, "_manifest.json")
-            if os.path.isfile(mf):
-                with open(mf) as f:
-                    sm = json.load(f)
-                stages[stage] = {
-                    k: sm.get(k)
-                    for k in ("rows", "wall_sec", "rows_per_sec", "complete")
-                }
-        manifest["stages"] = stages
+        # one place; routed through pyarrow.fs so --ckpt may be s3://...
+        manifest["stages"] = {
+            stage: {
+                k: sm.get(k)
+                for k in ("rows", "wall_sec", "rows_per_sec", "complete")
+            }
+            for stage, sm in list_stage_manifests(args.ckpt).items()
+        }
     if args.matches_json:
         import pyarrow.compute as pc
 
-        mj_dir = os.path.join(args.out, "matches_json")
+        mj_dir = join_path(args.out, "matches_json")
         passing = edges.map_batches(
             lambda t: t.filter(pc.equal(t["pass"], True)),
             batch_format="pyarrow",
         )
         write_matches_json(passing, args.corpus, mj_dir)
         manifest["matches_json"] = mj_dir
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "metrics.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    # pyarrow.fs single-object write: works for local dirs AND object-store
+    # --out URIs (write_parquet above already created the output prefix)
+    fs, out_p = resolve_fs(args.out)
+    fs.create_dir(out_p, recursive=True)
+    write_json(join_path(args.out, "metrics.json"), manifest)
     return manifest
 
 

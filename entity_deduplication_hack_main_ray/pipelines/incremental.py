@@ -75,18 +75,18 @@ def incremental_dedup_pipeline(
     points its ``old_ckpt_dir`` at this run's ``ckpt_dir`` — the daily
     ingestion loop, each day touching only its own shard.
     """
-    import json
+    from ..state.checkpoint import join_path, read_json
 
     cfg = cfg or PipelineConfig()
-    sig_dir = os.path.join(old_ckpt_dir, "signatures")
-    clu_dir = os.path.join(old_ckpt_dir, "clusters")
-    if not (os.path.isdir(sig_dir) and os.path.isdir(clu_dir)):
+    sig_dir = join_path(old_ckpt_dir, "signatures")
+    clu_dir = join_path(old_ckpt_dir, "clusters")
+    # pyarrow.fs-routed manifest read: old_ckpt_dir may be local or s3://
+    m = read_json(join_path(sig_dir, "_manifest.json"))
+    if m is None or read_json(join_path(clu_dir, "_manifest.json")) is None:
         raise FileNotFoundError(
             f"incremental_dedup_pipeline needs a completed base run under "
             f"{old_ckpt_dir} (signatures/ and clusters/ stages)"
         )
-    with open(os.path.join(sig_dir, "_manifest.json")) as f:
-        m = json.load(f)
     if m.get("config_hash") != cfg.config_hash() or not m.get("complete"):
         raise ValueError(
             "base-run signatures were produced under a different "

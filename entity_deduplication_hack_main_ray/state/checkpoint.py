@@ -8,9 +8,17 @@ the new engine to resume any stage mid-run. Design:
   ``_manifest.json`` carrying: the ``PipelineConfig.config_hash()`` (semantic
   knobs only — manifests stay valid across parallelism levels), an input
   fingerprint, row count, wall time and rows/s.
-* The write is atomic: parts land in ``<dir>.tmp`` and the directory is
-  renamed into place only after the manifest is written — a killed run leaves
-  either a complete stage or no stage, never a torn one.
+* Commit protocol is MANIFEST-LAST: part files land in the stage directory
+  first and the manifest (with ``complete: true``) is written as the final
+  single-object write. Object stores have no atomic directory rename, but a
+  single small PUT is atomic — and on a local FS a torn manifest fails JSON
+  parsing, which reads as "incomplete". Either way a killed run leaves a
+  stage that is detected as incomplete and wiped before recompute, so resume
+  semantics are identical on local disk, NFS, s3:// and gcs://.
+* All metadata I/O goes through ``pyarrow.fs`` (``FileSystem.from_uri`` for
+  URIs, ``LocalFileSystem`` for plain paths) so ``--ckpt s3://...`` works end
+  to end; the Parquet data reads/writes already accept URIs natively via
+  Ray Data.
 * ``run_stage`` = read-manifest → skip-if-valid → else compute + write. A
   resumed run therefore skips every completed stage and recomputes only the
   frontier, which is what the kill/resume pytest asserts byte-equality on.
@@ -20,11 +28,53 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from collections.abc import Callable
 
 import ray.data
+
+
+def resolve_fs(path: str):
+    """(FileSystem, fs-internal path) for a plain path or a URI.
+
+    Plain paths map to ``LocalFileSystem`` (absolutized — pyarrow's local FS
+    rejects relative paths); ``s3://`` / ``gcs://`` / ``file://`` URIs go
+    through ``FileSystem.from_uri``. Callers keep using the ORIGINAL string
+    with Ray Data (which accepts URIs natively) and use the returned pair
+    only for metadata I/O.
+    """
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def join_path(base: str, *parts: str) -> str:
+    """URI-safe path join (``os.path.join`` would mangle nothing on POSIX,
+    but be explicit: checkpoint paths may be s3://... URIs)."""
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def read_json(path: str) -> dict | None:
+    """Parse a small JSON object through pyarrow.fs; None when the file is
+    missing or torn (a torn manifest must read as 'stage incomplete')."""
+    fs, p = resolve_fs(path)
+    try:
+        with fs.open_input_stream(p) as f:
+            return json.loads(f.read().decode("utf-8"))
+    except (FileNotFoundError, OSError, json.JSONDecodeError):
+        return None
+
+
+def write_json(path: str, payload: dict) -> None:
+    """Single-object JSON write through pyarrow.fs — atomic on object
+    stores (one PUT); a torn local write fails parsing on read, which the
+    manifest-last protocol treats as incomplete."""
+    fs, p = resolve_fs(path)
+    data = json.dumps(payload, indent=2, sort_keys=True).encode("utf-8")
+    with fs.open_output_stream(p) as f:
+        f.write(data)
 
 
 class StageManifest:
@@ -32,23 +82,16 @@ class StageManifest:
         self.path = path
 
     def read(self) -> dict | None:
-        try:
-            with open(self.path) as f:
-                return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return None
+        return read_json(self.path)
 
     def write(self, payload: dict) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=2, sort_keys=True)
-        os.replace(tmp, self.path)
+        write_json(self.path, payload)
 
 
 def stage_is_complete(
     ckpt_dir: str, stage: str, config_hash: str, input_fingerprint: str
 ) -> bool:
-    m = StageManifest(os.path.join(ckpt_dir, stage, "_manifest.json")).read()
+    m = StageManifest(join_path(ckpt_dir, stage, "_manifest.json")).read()
     return (
         m is not None
         and m.get("config_hash") == config_hash
@@ -69,28 +112,29 @@ def run_stage(
 
     With ``ckpt_dir=None`` checkpointing is off and the lazy dataset is
     returned directly (streaming, no materialization). Otherwise the stage's
-    dataset is written to ``<ckpt_dir>/<stage>/`` atomically and re-read —
-    downstream stages then consume the files, so a crash later in the
-    pipeline resumes from here for free.
+    dataset is written to ``<ckpt_dir>/<stage>/`` (manifest-last commit) and
+    re-read — downstream stages then consume the files, so a crash later in
+    the pipeline resumes from here for free.
     """
     if ckpt_dir is None:
         return compute()
-    stage_dir = os.path.join(ckpt_dir, stage)
+    stage_dir = join_path(ckpt_dir, stage)
     if stage_is_complete(ckpt_dir, stage, config_hash, input_fingerprint):
         return ray.data.read_parquet(stage_dir)
-    tmp_dir = stage_dir + ".tmp"
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    shutil.rmtree(stage_dir, ignore_errors=True)
-    os.makedirs(tmp_dir, exist_ok=True)
+    fs, sd = resolve_fs(stage_dir)
+    # wipe any torn previous attempt (no manifest == uncommitted, safe to
+    # delete; part filenames differ across runs so stale parts MUST go)
+    try:
+        fs.delete_dir(sd)
+    except (FileNotFoundError, OSError):
+        pass
+    fs.create_dir(sd, recursive=True)
     t0 = time.monotonic()
     ds = compute()
-    ds.write_parquet(tmp_dir, min_rows_per_file=min_rows_per_file)
+    ds.write_parquet(stage_dir, min_rows_per_file=min_rows_per_file)
     elapsed = time.monotonic() - t0
-    rows = sum(
-        f.num_rows
-        for f in _parquet_metadata(tmp_dir)
-    )
-    StageManifest(os.path.join(tmp_dir, "_manifest.json")).write(
+    rows = sum(f.num_rows for f in _parquet_metadata(stage_dir))
+    StageManifest(join_path(stage_dir, "_manifest.json")).write(
         {
             "stage": stage,
             "config_hash": config_hash,
@@ -101,16 +145,40 @@ def run_stage(
             "complete": True,
         }
     )
-    os.replace(tmp_dir, stage_dir)
     return ray.data.read_parquet(stage_dir)
+
+
+def list_stage_manifests(ckpt_dir: str) -> dict[str, dict]:
+    """stage name → manifest dict for every committed stage under a
+    checkpoint dir (local or URI) — the per-partition lineage surface the
+    job entrypoint folds into ``metrics.json``."""
+    from pyarrow import fs as pafs
+
+    fs, cd = resolve_fs(ckpt_dir)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(cd, recursive=False))
+    except (FileNotFoundError, OSError):
+        return {}
+    out: dict[str, dict] = {}
+    for info in sorted(infos, key=lambda i: i.path):
+        if info.type != pafs.FileType.Directory:
+            continue
+        stage = info.base_name
+        m = read_json(join_path(ckpt_dir, stage, "_manifest.json"))
+        if m is not None:
+            out[stage] = m
+    return out
 
 
 def _parquet_metadata(d: str):
     import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
-    for name in sorted(os.listdir(d)):
-        if name.endswith(".parquet"):
-            yield pq.read_metadata(os.path.join(d, name))
+    fs, p = resolve_fs(d)
+    infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    for info in sorted(infos, key=lambda i: i.path):
+        if info.base_name.endswith(".parquet"):
+            yield pq.read_metadata(info.path, filesystem=fs)
 
 
 def fingerprint_input(path: str) -> str:
@@ -118,12 +186,17 @@ def fingerprint_input(path: str) -> str:
     enough to invalidate checkpoints when the input actually changes."""
     import hashlib
 
+    from pyarrow import fs as pafs
+
+    fs, p = resolve_fs(path)
     h = hashlib.sha256()
-    if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, name))
-            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
-    elif os.path.exists(path):
-        st = os.stat(path)
-        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.Directory:
+        for i in sorted(
+            fs.get_file_info(pafs.FileSelector(p, recursive=False)),
+            key=lambda i: i.path,
+        ):
+            h.update(f"{i.base_name}:{i.size}:{i.mtime_ns}".encode())
+    elif info.type == pafs.FileType.File:
+        h.update(f"{info.base_name}:{info.size}:{info.mtime_ns}".encode())
     return h.hexdigest()[:16]

@@ -84,3 +84,39 @@ def test_execution_knobs_do_not_invalidate():
     b = PipelineConfig(signer_concurrency=16, batch_size=8192)
     assert a.config_hash() == b.config_hash()
     assert PipelineConfig(seed=1).config_hash() != a.config_hash()
+
+
+def test_checkpoint_over_file_uri(ray_session, tiny_corpus, tmp_path):
+    """--ckpt/--out may be object-store URIs: the manifest/lineage layer is
+    routed through pyarrow.fs (FileSystem.from_uri). A file:// URI exercises
+    that generic code path end to end (resolve → write parts → manifest-last
+    commit → resume skip) without needing a real bucket."""
+    from entity_deduplication_hack_main_ray.pipelines.dedup import dedup_pipeline
+    from entity_deduplication_hack_main_ray.state.checkpoint import (
+        list_stage_manifests,
+    )
+
+    corpus_dir, _ = tiny_corpus
+    cfg = PipelineConfig()
+    ckpt_uri = "file://" + str(tmp_path / "ckpt_uri")
+
+    _, c1 = dedup_pipeline(corpus_dir, cfg, ckpt_dir=ckpt_uri)
+    t1 = _clusters_table(c1)
+    stages = list_stage_manifests(ckpt_uri)
+    assert set(stages) >= {"signatures", "edges", "clusters"}
+    assert all(m["complete"] and m["rows"] > 0 for m in stages.values())
+
+    # resume through the URI path: nothing recomputed, byte-equal output
+    edges_manifest = str(tmp_path / "ckpt_uri" / "edges" / "_manifest.json")
+    before = os.path.getmtime(edges_manifest)
+    _, c2 = dedup_pipeline(corpus_dir, cfg, ckpt_dir=ckpt_uri)
+    assert _clusters_table(c2).equals(t1)
+    assert os.path.getmtime(edges_manifest) == before
+
+
+def test_fingerprint_input_over_uri_matches_local(tiny_corpus):
+    corpus_dir, _ = tiny_corpus
+    # same directory addressed both ways must not invalidate checkpoints
+    assert fingerprint_input(corpus_dir) == fingerprint_input(
+        "file://" + os.path.abspath(corpus_dir)
+    )
