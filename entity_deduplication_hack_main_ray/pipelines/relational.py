@@ -74,16 +74,42 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
-    """Global top-k by value (A1's global cousin): sort + limit.
+def top_orders(
+    sf_dir: str, k: int = 10, use_global_sort: bool = False
+) -> pd.DataFrame:
+    """Global top-k by value (A1's global cousin).
+
+    Default plan: PARTIAL top-k — each batch keeps its local k rows
+    (vectorized ``argpartition``-style nsmallest over the negated key) and
+    the driver merges O(blocks × k) candidate rows. No AllToAll Sort
+    operator: a global sort moves the ENTIRE fact table through one
+    exchange to keep k rows. ``use_global_sort=True`` keeps the sort-based
+    plan as the operator showcase (same result, oracle-identical).
 
     ``o_orderkey`` tie-break (ascending) mirrors the oracle SQL exactly, so
     ties straddling the k boundary select the same rows in both engines."""
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    if use_global_sort:
+        return (
+            ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(k)
+            .to_pandas()
+        )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            t, k, [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        )
+        return t.take(idx)
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     return (
-        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(k)
-        .to_pandas()
+        cand.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="stable",
+        )
+        .head(k)
+        .reset_index(drop=True)
     )
 
 
@@ -1256,6 +1282,17 @@ def customer_region_rollup(sf_dir: str) -> pd.DataFrame:
         fine, region_name="object", nation_name="object",
         n_customers="int64", acctbal_cents="int64",
     )
+    if fine.empty:
+        # SQL ROLLUP over zero facts: ONE grand-total row, COUNT(*) = 0 and
+        # SUM(...) = NULL (nullable Int64, not 0 — SUM over the empty set)
+        return pd.DataFrame(
+            {
+                "region_name": [None],
+                "nation_name": [None],
+                "n_customers": pd.array([0], dtype="int64"),
+                "acctbal_cents": pd.array([pd.NA], dtype="Int64"),
+            }
+        )
     by_region = (
         fine.groupby("region_name", as_index=False)[
             ["n_customers", "acctbal_cents"]

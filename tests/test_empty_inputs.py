@@ -63,8 +63,37 @@ CASES = [
                               "centroid_mhz"]),
     ("video_frame_stats", ["media_id", "frame_idx", "mean_e6"]),
 ]
-# (customer_region_rollup is intentionally absent: SQL ROLLUP semantics
-# yield ONE grand-total row even on empty input — covered by its oracle.)
+# (customer_region_rollup is absent from CASES because SQL ROLLUP yields
+# ONE grand-total row even on empty input — pinned by its own test below.)
+
+
+def test_rollup_empty_customers_matches_sql(ray_session, tmp_path):
+    """GROUP BY ROLLUP over zero facts: exactly one all-NULL-key row with
+    COUNT(*) = 0 and SUM(...) = NULL (not 0) — ADVICE r3."""
+    import pandas as pd
+
+    from entity_deduplication_hack_main_ray.pipelines.relational import (
+        customer_region_rollup,
+    )
+
+    d = str(tmp_path)
+    for t in ["nation", "region"]:
+        pq.write_table(
+            pa.table(duckdb.sql(f"SELECT * FROM '{SRC}/{t}.parquet'").arrow()),
+            os.path.join(d, f"{t}.parquet"),
+        )
+    pq.write_table(
+        pa.table(
+            duckdb.sql(f"SELECT * FROM '{SRC}/customer.parquet' LIMIT 0").arrow()
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    out = customer_region_rollup(d)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["region_name"] is None and row["nation_name"] is None
+    assert row["n_customers"] == 0
+    assert pd.isna(row["acctbal_cents"])  # SUM over empty = NULL, never 0
 
 
 @pytest.mark.parametrize("name,cols", CASES, ids=[c[0] for c in CASES])

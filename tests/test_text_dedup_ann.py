@@ -896,3 +896,50 @@ def test_substring_family_partition_invariant(ray_session):
     a = repeated_passages(SF, num_partitions=4).reset_index(drop=True)
     b = repeated_passages(SF, num_partitions=64).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_substring_dup_pairs_exact_by_default_on_hot_window(ray_session, tmp_path):
+    """A window shared by MANY docs (here 40 > the old default cap of 256/
+    any small cap) must still emit ALL pairs by default: the exact-substring
+    family is documented EXACT and oracle-hash-checked, so the star fallback
+    is opt-in (max_group=...) rather than a silent default (ADVICE r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        substring_dup_pairs,
+    )
+
+    n = 40
+    shared = "S" * 39 + "T"
+    # distinct per-doc affixes: windows overlapping them are unique to the
+    # doc, so every pair shares EXACTLY the one pure `shared` window
+    texts = [f"<{i:04d}>{shared}<{i:04d}>" for i in range(n)]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts)}),
+        str(d / "documents.parquet"),
+    )
+    out = substring_dup_pairs(str(d), L=40)
+    assert len(out) == n * (n - 1) // 2          # exact all-pairs
+    import duckdb
+
+    oracle = duckdb.sql(
+        f"""
+        WITH g AS (SELECT DISTINCT doc_id, sub FROM (
+               SELECT doc_id,
+                      UNNEST([SUBSTR(text, i, 40)
+                              FOR i IN GENERATE_SERIES(1, LEN(text) - 39)]) AS sub
+               FROM read_parquet('{d}/documents.parquet')))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+        FROM g a JOIN g b ON a.sub = b.sub AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df().astype({"id_a": "int64", "id_b": "int64", "n_shared_grams": "int64"})
+    assert out.reset_index(drop=True).equals(oracle)
+    # the star fallback is still available as an explicit opt-in
+    starred = substring_dup_pairs(str(d), L=40, max_group=8)
+    assert 0 < len(starred) < n * (n - 1) // 2
