@@ -67,52 +67,51 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     waste when a 16-byte key carries the same equality contract, collision
     p ≈ 2⁻¹²⁸, exactly like the substring family's
     ``char_ngram_hash2_stream`` windows). Plan shape: per-batch PARTIAL
-    dedup (each batch keeps one min-doc_id row per distinct fingerprint —
-    vectorized sort + drop_duplicates), ONE exchange of (pkey, h1, h2,
-    doc_id) rows on ``h1 % P`` coarse partitions, the same vectorized
-    kernel per partition — O(P) group-function calls — and finally the
-    representatives' texts are fetched with the ``psnr_spot_check``
-    broadcast ``is_in`` semi-join (the winner set is the small side; the
-    corpus streams through one exchange-free probe).
+    fingerprinting, ONE exchange of (pkey, h1, h2, doc_id) rows on
+    ``h1 % P`` coarse partitions, a vectorized per-partition kernel —
+    O(P) group-function calls — emitting the LOSER ids
+    (every non-winner duplicate row), and finally the survivors stream out
+    of one exchange-free corpus pass with a broadcast NOT-``is_in`` probe.
+    Losers, not winners, are the broadcast side: at realistic web dup
+    rates (10-50%) the loser set is the strictly smaller one, and a
+    dup-free corpus broadcasts nothing at all (an all-winners broadcast
+    would be the size of the corpus). At 10^12-doc scale, if even the
+    loser set outgrew the object store, the probe would become a
+    partitioned anti-join on doc_id — same output, one more exchange.
     """
     P = 64
 
-    def partial(t: pa.Table) -> pa.Table:
-        g = (
-            _fp128_keyed(t, P)
-            .to_pandas()
-            .sort_values("doc_id", kind="stable")
-            .drop_duplicates(["h1", "h2"])
-        )
-        return pa.Table.from_pandas(
-            g[["pkey", "h1", "h2", "doc_id"]], preserve_index=False
-        )
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        # every row whose (h1, h2) group has a smaller doc_id — vectorized.
+        # NOTE: no per-batch partial dedup upstream — a batch-local combine
+        # would swallow in-batch duplicates before they can be emitted as
+        # losers (the winner-broadcast design could combine; this one must
+        # see every row, and the rows are 32 bytes).
+        dup = g.sort_values("doc_id", kind="stable").duplicated(["h1", "h2"])
+        return g.loc[dup.index[dup], ["doc_id"]]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return (
-            g.sort_values("doc_id", kind="stable")
-            .drop_duplicates(["h1", "h2"])[["doc_id"]]
-        )
-
-    reps = (
+    lose_ds = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _fp128_keyed(t, P), batch_format="pyarrow")
         .groupby("pkey")
-        .map_groups(merge, batch_format="pandas")
-        .to_pandas()
+        .map_groups(losers, batch_format="pandas")
     )
-    if reps.empty:
-        return typed_empty(doc_id="int64", text="object")
-    id_ref = ray.put(
-        pa.array(np.sort(reps["doc_id"].to_numpy(dtype=np.int64)), pa.int64())
-    )
+    # the loser id list is the small side (duplicate rows only); stream it
+    # into one sorted broadcast array
+    lose_ids: list[np.ndarray] = []
+    for b in lose_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            lose_ids.append(b["doc_id"].to_numpy(zero_copy_only=False))
+    drop = np.sort(np.concatenate(lose_ids)) if lose_ids else np.empty(0, np.int64)
+    drop_ref = ray.put(pa.array(drop, pa.int64()))
 
-    def fetch(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["doc_id"], value_set=ray.get(id_ref)))
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["doc_id"], value_set=ray.get(drop_ref))
+        return t.filter(pc.invert(m))
 
     out = (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(fetch, batch_format="pyarrow")
+        .map_batches(keep, batch_format="pyarrow")
         .to_pandas()
     )
     out = ensure_cols(out, doc_id="int64", text="object")
@@ -250,13 +249,18 @@ def _signed(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
 # 24 + 8·bands bytes/doc, no text — and the object store spills it if a
 # node's share outgrows memory, so materializing is safe at scale.
 _SIGNED_CACHE: dict[tuple[str, str], ray.data.Dataset] = {}
+_SIGNED_CACHE_MAX = 4  # LRU-evicted: a long test session touches many tmp
+# corpora; dropping the Dataset handle releases its pinned blocks
 
 
 def _signed_cached(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
     key = (sf_dir, cfg.config_hash())
-    ds = _SIGNED_CACHE.get(key)
+    ds = _SIGNED_CACHE.pop(key, None)
     if ds is None:
-        ds = _SIGNED_CACHE[key] = _signed(sf_dir, cfg).materialize()
+        ds = _signed(sf_dir, cfg).materialize()
+        while len(_SIGNED_CACHE) >= _SIGNED_CACHE_MAX:
+            _SIGNED_CACHE.pop(next(iter(_SIGNED_CACHE)))
+    _SIGNED_CACHE[key] = ds  # re-insert == move to MRU end (dict order)
     return ds
 
 

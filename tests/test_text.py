@@ -235,3 +235,27 @@ def test_stratified_sample_semantics(ray_session):
     # monotone nesting: raising en 40 -> 70 only ADDS docs
     bigger = stratified_sample(sf, rates={"en": 70, "de": 100})
     assert set(out["doc_id"]) <= set(bigger["doc_id"])
+
+
+def test_content_fingerprint128_contract():
+    """128-bit whole-text fingerprints (exact-dedup family's exchange key):
+    deterministic, equality ≡ text equality on distinct inputs, and robust
+    to empty/None/unicode/lone-surrogate inputs."""
+    from entity_deduplication_hack_main_ray.functions.text import (
+        content_fingerprint128,
+    )
+
+    texts = ["", "a", "A", "a ", "héllo", "héllo", "\ud800lone", None, "x" * 10000]
+    h1, h2 = content_fingerprint128(texts)
+    assert h1.dtype == h2.dtype and str(h1.dtype) == "int64"
+    # determinism
+    g1, g2 = content_fingerprint128(texts)
+    assert (h1 == g1).all() and (h2 == g2).all()
+    # identical texts agree, distinct texts differ (on both words — the
+    # equality decision uses the pair)
+    assert (h1[4], h2[4]) == (h1[5], h2[5])
+    pairs = list(zip(h1, h2))
+    distinct = [pairs[i] for i in (0, 1, 2, 3, 4, 6, 8)]
+    assert len(set(distinct)) == len(distinct)
+    # None hashes like "" (the `s or ""` scrub used across the engine)
+    assert pairs[7] == pairs[0]
