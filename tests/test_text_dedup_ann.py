@@ -943,3 +943,39 @@ def test_substring_dup_pairs_exact_by_default_on_hot_window(ray_session, tmp_pat
     # the star fallback is still available as an explicit opt-in
     starred = substring_dup_pairs(str(d), L=40, max_group=8)
     assert 0 < len(starred) < n * (n - 1) // 2
+
+
+def test_signed_cache_lru_eviction(monkeypatch):
+    """The session signature cache reuses the materialized Dataset per
+    (sf_dir, config_hash) and evicts least-recently-used beyond its cap so
+    long test sessions release pinned blocks."""
+    from entity_deduplication_hack_main_ray import config as cfg_mod
+    from entity_deduplication_hack_main_ray.pipelines import text_dedup as td
+
+    calls = []
+
+    class FakeDs:
+        def __init__(self, key):
+            self.key = key
+
+        def materialize(self):
+            return self
+
+    def fake_signed(sf_dir, cfg):
+        calls.append(sf_dir)
+        return FakeDs(sf_dir)
+
+    monkeypatch.setattr(td, "_signed", fake_signed)
+    monkeypatch.setattr(td, "_SIGNED_CACHE", {})
+    cfg = cfg_mod.PipelineConfig()
+
+    a = td._signed_cached("/a", cfg)
+    assert td._signed_cached("/a", cfg) is a          # hit, no recompute
+    assert calls == ["/a"]
+    for d in ["/b", "/c", "/d", "/e"]:                 # cap=4 → /a evicted
+        td._signed_cached(d, cfg)
+    td._signed_cached("/e", cfg)                       # MRU refresh, no call
+    assert calls == ["/a", "/b", "/c", "/d", "/e"]
+    td._signed_cached("/a", cfg)                       # recomputed after evict
+    assert calls == ["/a", "/b", "/c", "/d", "/e", "/a"]
+    assert len(td._SIGNED_CACHE) <= td._SIGNED_CACHE_MAX
