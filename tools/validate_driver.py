@@ -1,7 +1,8 @@
 """Driver-contract validator: replicates the round driver's correctness
 gate locally — ray.init, entry(), then every queries()[name] at sf0.01
 compared against oracle_sql()[name] in DuckDB (rows + canonicalized value
-equality). Run: python tools/validate_driver.py  (~2-3 min, 32 CPUs).
+equality). Run: python tools/validate_driver.py [sf_dir]  (~2-3 min at the
+default sf0.01, 32 CPUs; pass /root/testdata/sf0.1 for the big contract).
 """
 import sys, time
 import ray
@@ -18,7 +19,7 @@ except AttributeError:
     n = len(res)
 print(f"entry(): {n} rows in {time.time()-t0:.1f}s")
 
-sf = "/root/testdata/sf0.01"
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
