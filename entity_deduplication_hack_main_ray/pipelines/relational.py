@@ -1284,7 +1284,10 @@ def customer_region_rollup(sf_dir: str) -> pd.DataFrame:
     )
     if fine.empty:
         # SQL ROLLUP over zero facts: ONE grand-total row, COUNT(*) = 0 and
-        # SUM(...) = NULL (nullable Int64, not 0 — SUM over the empty set)
+        # SUM(...) = NULL (nullable Int64, not 0 — SUM over the empty set).
+        # acctbal_cents is nullable Int64 on BOTH paths so the schema is
+        # invariant to row count (ADVICE r4: a dtype that flips with data
+        # presence breaks strict dtype consumers).
         return pd.DataFrame(
             {
                 "region_name": [None],
@@ -1310,7 +1313,7 @@ def customer_region_rollup(sf_dir: str) -> pd.DataFrame:
         ["region_name", "nation_name", "n_customers", "acctbal_cents"]
     ]
     return (
-        out.astype({"n_customers": "int64", "acctbal_cents": "int64"})
+        out.astype({"n_customers": "int64", "acctbal_cents": "Int64"})
         .sort_values(
             ["region_name", "nation_name"], na_position="first"
         )

@@ -58,7 +58,9 @@ def _fp128_keyed(t: pa.Table, P: int) -> pa.Table:
     )
 
 
-def exact_dedup(sf_dir: str) -> pd.DataFrame:
+def exact_dedup(
+    sf_dir: str, broadcast_max_losers: int = 5_000_000
+) -> pd.DataFrame:
     """Exact dedup (hash-partition + per-group first, A5): one row per
     distinct text with the minimum doc_id as representative.
 
@@ -70,14 +72,20 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     fingerprinting, ONE exchange of (pkey, h1, h2, doc_id) rows on
     ``h1 % P`` coarse partitions, a vectorized per-partition kernel —
     O(P) group-function calls — emitting the LOSER ids
-    (every non-winner duplicate row), and finally the survivors stream out
-    of one exchange-free corpus pass with a broadcast NOT-``is_in`` probe.
-    Losers, not winners, are the broadcast side: at realistic web dup
-    rates (10-50%) the loser set is the strictly smaller one, and a
-    dup-free corpus broadcasts nothing at all (an all-winners broadcast
-    would be the size of the corpus). At 10^12-doc scale, if even the
-    loser set outgrew the object store, the probe would become a
-    partitioned anti-join on doc_id — same output, one more exchange.
+    (every non-winner duplicate row). The survivor probe then picks one of
+    two physical plans by MEASURED loser count:
+
+    * losers ≤ ``broadcast_max_losers`` (the common case — at realistic
+      web dup rates the loser set is the strictly smaller side, and a
+      dup-free corpus broadcasts nothing at all): one sorted broadcast
+      array + an exchange-free NOT-``is_in`` corpus pass.
+    * losers above the threshold (extreme dup rates, where a driver
+      collect + object-store broadcast would be the bottleneck or OOM):
+      a PARTITIONED ANTI-JOIN — loser ids and corpus rows co-partition on
+      ``hash(doc_id) % P`` through one more exchange and each partition
+      filters vectorized. Same output bit-for-bit (the forced-fallback
+      pytest asserts byte equality); the corpus text rides that exchange,
+      which is inherent: the output IS the surviving text.
     """
     P = 64
 
@@ -95,27 +103,91 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
         .map_batches(lambda t: _fp128_keyed(t, P), batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(losers, batch_format="pandas")
+        .materialize()  # consumed twice at most: count + (collect | join)
     )
-    # the loser id list is the small side (duplicate rows only); stream it
-    # into one sorted broadcast array
-    lose_ids: list[np.ndarray] = []
-    for b in lose_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        if b.num_rows:
-            lose_ids.append(b["doc_id"].to_numpy(zero_copy_only=False))
-    drop = np.sort(np.concatenate(lose_ids)) if lose_ids else np.empty(0, np.int64)
-    drop_ref = ray.put(pa.array(drop, pa.int64()))
+    if lose_ds.count() > broadcast_max_losers:
+        out = _anti_join_survivors(sf_dir, lose_ds, P)
+    else:
+        # the loser id list is the small side (duplicate rows only); stream
+        # it into one sorted broadcast array
+        lose_ids: list[np.ndarray] = []
+        for b in lose_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            if b.num_rows:
+                lose_ids.append(b["doc_id"].to_numpy(zero_copy_only=False))
+        drop = (
+            np.sort(np.concatenate(lose_ids))
+            if lose_ids else np.empty(0, np.int64)
+        )
+        drop_ref = ray.put(pa.array(drop, pa.int64()))
 
-    def keep(t: pa.Table) -> pa.Table:
-        m = pc.is_in(t["doc_id"], value_set=ray.get(drop_ref))
-        return t.filter(pc.invert(m))
+        def keep(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t["doc_id"], value_set=ray.get(drop_ref))
+            return t.filter(pc.invert(m))
 
-    out = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(keep, batch_format="pyarrow")
-        .to_pandas()
-    )
+        out = (
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(keep, batch_format="pyarrow")
+            .to_pandas()
+        )
     out = ensure_cols(out, doc_id="int64", text="object")
     return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "text"]]
+
+
+def _anti_join_survivors(
+    sf_dir: str, lose_ds: ray.data.Dataset, P: int
+) -> pd.DataFrame:
+    """Partitioned anti-join survivor probe (exact_dedup's at-scale path):
+    corpus rows (doc_id, text) and loser ids co-partition on
+    ``splitmix64(doc_id) % P``; each partition drops its loser rows with a
+    sorted-array ``searchsorted`` membership test. No driver collect, no
+    broadcast — both sides stream through ONE exchange."""
+    from ..functions.hashing import splitmix64
+
+    def _pkeyed(t: pa.Table, is_loser: int) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pkey = (splitmix64(ids.astype(np.uint64)) % np.uint64(P)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "pkey": pa.array(pkey),
+                "doc_id": t["doc_id"],
+                "text": t["text"] if not is_loser
+                else pa.nulls(len(ids), pa.string()),
+                "is_loser": pa.array(
+                    np.full(len(ids), is_loser, dtype=np.int8)
+                ),
+            }
+        )
+
+    corpus = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _pkeyed(t, 0), batch_format="pyarrow"
+    )
+    losers = lose_ds.map_batches(
+        lambda t: _pkeyed(t, 1), batch_format="pyarrow"
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        flag = g["is_loser"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        drop = np.sort(ids[flag == 1])
+        rows = np.nonzero(flag == 0)[0]
+        cand = ids[rows]
+        pos = np.searchsorted(drop, cand)
+        pos[pos == len(drop)] = 0
+        hit = (
+            (drop[pos] == cand) if len(drop) else np.zeros(len(cand), bool)
+        )
+        return g.select(["doc_id", "text"]).take(
+            pa.array(rows[~hit], pa.int64())
+        )
+
+    return (
+        corpus.union(losers)
+        .groupby("pkey")
+        .map_groups(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
 
 
 def leakage_free_split(
@@ -248,13 +320,40 @@ def _signed(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
 # The pinned table is compact — (doc_id, digest, simhash, keys[bands]) ≈
 # 24 + 8·bands bytes/doc, no text — and the object store spills it if a
 # node's share outgrows memory, so materializing is safe at scale.
-_SIGNED_CACHE: dict[tuple[str, str], ray.data.Dataset] = {}
+#
+# Key = (sf_dir, config_hash, INPUT FINGERPRINT, RAY SESSION) — the first
+# two alone silently reused stale signatures when documents.parquet was
+# rewritten at the same path within a session, and a cached Dataset handle
+# dangles across ray.shutdown()/re-init (ADVICE r4). The fingerprint is the
+# checkpoint module's cheap stat hash (names+sizes+mtimes, no data read);
+# the session token invalidates every entry from a previous Ray cluster.
+_SIGNED_CACHE: dict[tuple[str, str, str, str], ray.data.Dataset] = {}
 _SIGNED_CACHE_MAX = 4  # LRU-evicted: a long test session touches many tmp
 # corpora; dropping the Dataset handle releases its pinned blocks
 
 
+def _ray_session_token() -> str:
+    """Opaque token that changes across ray.shutdown()/ray.init() cycles
+    (the driver gets a fresh job id per init); '' when Ray isn't up yet."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return ray.get_runtime_context().get_job_id()
+    except Exception:
+        pass
+    return ""
+
+
 def _signed_cached(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
-    key = (sf_dir, cfg.config_hash())
+    from ..state.checkpoint import fingerprint_input
+
+    key = (
+        sf_dir,
+        cfg.config_hash(),
+        fingerprint_input(f"{sf_dir}/documents.parquet"),
+        _ray_session_token(),
+    )
     ds = _SIGNED_CACHE.pop(key, None)
     if ds is None:
         ds = _signed(sf_dir, cfg).materialize()
@@ -835,6 +934,54 @@ def _distinct_gram_table(
     return pa.table(cols)
 
 
+_PAIR_CHUNK = 1 << 24   # max pair-index rows per single numpy allocation
+_PAIR_WARN = 10_000_000  # projected pairs per group above which we log loud
+
+
+def _chunked_triu_pairs(rs: np.ndarray, m: int):
+    """Yield (pi, pj) row-index pair blocks covering the strict upper
+    triangle of every group in ``rs`` (each of ``m`` consecutive rows),
+    with every yielded allocation ≤ ~``_PAIR_CHUNK`` pairs.
+
+    Small sizes keep the round-3 size-grouped fast path (ONE triu applied
+    to all same-size groups at once); large sizes stream the triangle in
+    first-index blocks so a single pathological group cannot allocate its
+    full O(m²) pair set at once (ADVICE r4)."""
+    pairs_per_group = m * (m - 1) // 2
+    if pairs_per_group <= _PAIR_CHUNK:
+        # small-m path: ONE triu reused across all same-size groups, the
+        # group axis chunked so groups_per_block × pairs_per_group stays
+        # bounded (many small groups must not re-enter a per-group loop)
+        iu, ju = np.triu_indices(m, 1)
+        per_block = max(1, _PAIR_CHUNK // max(1, pairs_per_group))
+        for b0 in range(0, len(rs), per_block):
+            pos = rs[b0 : b0 + per_block, None] + np.arange(m)[None, :]
+            yield pos[:, iu].ravel(), pos[:, ju].ravel()
+        return
+    # giant-m path: block over the first index i — rows i in [i0, i1)
+    # contribute sum(m-1-i) pairs; pick i-blocks ≤ _PAIR_CHUNK pairs
+    for s in rs:
+        i0 = 0
+        while i0 < m - 1:
+            i1 = i0
+            total = 0
+            while i1 < m - 1 and total + (m - 1 - i1) <= _PAIR_CHUNK:
+                total += m - 1 - i1
+                i1 += 1
+            i1 = max(i1, i0 + 1)  # always advance, even if one row > chunk
+            ii = np.arange(i0, i1, dtype=np.int64)
+            cnt = m - 1 - ii
+            pi = np.repeat(s + ii, cnt)
+            # per-i runs j = i+1 .. m-1, laid out contiguously
+            run_starts = np.cumsum(cnt) - cnt
+            within = np.arange(cnt.sum(), dtype=np.int64) - np.repeat(
+                run_starts, cnt
+            )
+            pj = s + np.repeat(ii, cnt) + 1 + within
+            yield pi, pj
+            i0 = i1
+
+
 def _window_pair_indices(
     h1: np.ndarray, h2: np.ndarray, max_group: int | None, op_name: str
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -846,7 +993,17 @@ def _window_pair_indices(
     ``max_group=None`` (the exact-family DEFAULT) disables the star
     fallback entirely: the substring queries are documented EXACT and
     oracle-hash-checked, so degrading to lower bounds must be an explicit
-    opt-in for known-hot corpora, never a silent default (ADVICE r3)."""
+    opt-in for known-hot corpora, never a silent default (ADVICE r3).
+
+    Exactness under the None default still cannot be a single unbounded
+    allocation (ADVICE r4): a boilerplate window shared by m ~ 1e5 docs
+    projects m(m-1)/2 ~ 5e9 pairs, and one ``np.triu_indices`` call of
+    that size OOMs the worker before the pair table even exists. Pair
+    EMISSION therefore stays exact but is CHUNKED (``_PAIR_CHUNK``-bounded
+    allocations), and any group whose projected pair count crosses
+    ``_PAIR_WARN`` logs a loud warning with the group size and projection
+    so a pathological corpus is visible in the logs before it is visible
+    in the bill."""
     if max_group is None:
         max_group = np.iinfo(np.int64).max
     new = np.ones(len(h1), dtype=bool)
@@ -860,16 +1017,29 @@ def _window_pair_indices(
         if m < 2:
             continue
         rs = starts[sizes == m]
-        pos = rs[:, None] + np.arange(m)[None, :]
         if m <= max_group:
-            iu, ju = np.triu_indices(m, 1)
-            pi, pj = pos[:, iu].ravel(), pos[:, ju].ravel()
-        else:  # hot window: star keeps every doc connected, O(m) pairs
-            n_starred += len(rs)
-            pi = np.repeat(pos[:, 0], m - 1)
-            pj = pos[:, 1:].ravel()
-        pi_all.append(pi)
-        pj_all.append(pj)
+            proj = len(rs) * (int(m) * (int(m) - 1) // 2)
+            if int(m) * (int(m) - 1) // 2 > _PAIR_WARN:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%s: %d window group(s) of %d docs project %d exact "
+                    "pairs each (%d total) — emission is chunked, but an "
+                    "output this size may dominate the stage; consider "
+                    "max_group for this corpus",
+                    op_name, len(rs), int(m),
+                    int(m) * (int(m) - 1) // 2, proj,
+                )
+            for pi, pj in _chunked_triu_pairs(rs, int(m)):
+                pi_all.append(pi)
+                pj_all.append(pj)
+            continue
+        # hot window above the explicit cap: star keeps every doc
+        # connected, O(m) pairs
+        pos = rs[:, None] + np.arange(m)[None, :]
+        n_starred += len(rs)
+        pi_all.append(np.repeat(pos[:, 0], m - 1))
+        pj_all.append(pos[:, 1:].ravel())
     if n_starred:
         import logging
 

@@ -94,6 +94,10 @@ def test_rollup_empty_customers_matches_sql(ray_session, tmp_path):
     assert row["region_name"] is None and row["nation_name"] is None
     assert row["n_customers"] == 0
     assert pd.isna(row["acctbal_cents"])  # SUM over empty = NULL, never 0
+    # schema invariance (ADVICE r4): the dtype must not flip with row count
+    full = customer_region_rollup(SRC)
+    assert out.dtypes.equals(full.dtypes)
+    assert str(full["acctbal_cents"].dtype) == "Int64"
 
 
 @pytest.mark.parametrize("name,cols", CASES, ids=[c[0] for c in CASES])

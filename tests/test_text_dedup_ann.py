@@ -22,6 +22,35 @@ def test_exact_dedup_keeps_min_doc_id(ray_session):
     assert out["doc_id"].tolist() == expected["doc_id"].tolist()
 
 
+def test_exact_dedup_anti_join_fallback_byte_equal(ray_session, tmp_path):
+    """VERDICT r4 #3: when the loser set exceeds ``broadcast_max_losers``
+    the survivor probe switches from driver collect + broadcast to a
+    partitioned anti-join — same output BYTE-EQUAL on a corpus with real
+    duplicates (fallback forced here with threshold 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        exact_dedup,
+    )
+
+    # 120 docs over 40 distinct texts → 80 losers spread across groups
+    n = 120
+    texts = [f"document body number {i % 40} with shared text" for i in range(n)]
+    d = tmp_path / "dups"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(texts)}),
+        str(d / "documents.parquet"),
+    )
+    broadcast = exact_dedup(str(d))  # default path (losers ≪ threshold)
+    anti = exact_dedup(str(d), broadcast_max_losers=0)  # forced fallback
+    assert len(broadcast) == 40
+    assert broadcast["doc_id"].tolist() == list(range(40))  # min per group
+    pd.testing.assert_frame_equal(broadcast, anti)
+
+
 def test_leakage_free_split_matches_oracle(ray_session):
     """Engine split == DuckDB oracle (the driver's check, run locally at
     sf0.001), and the decontamination invariant holds: identical-text docs
@@ -945,6 +974,34 @@ def test_substring_dup_pairs_exact_by_default_on_hot_window(ray_session, tmp_pat
     assert 0 < len(starred) < n * (n - 1) // 2
 
 
+def test_chunked_triu_pairs_exact_under_tiny_chunk(monkeypatch):
+    """ADVICE r4: exact pair emission must be CHUNKED, never one O(m²)
+    allocation. With the chunk bound forced tiny, the union of yielded
+    blocks must equal np.triu_indices exactly on both the many-small-groups
+    path and the giant-group path — and no single block may exceed ~chunk."""
+    import numpy as np
+
+    from entity_deduplication_hack_main_ray.pipelines import text_dedup as td
+
+    monkeypatch.setattr(td, "_PAIR_CHUNK", 7)
+    for rs, m in [
+        (np.array([0, 10, 25], dtype=np.int64), 4),    # grouped small-m path
+        (np.array([0], dtype=np.int64), 9),            # giant-m blocked path
+        (np.array([3, 50], dtype=np.int64), 6),        # mixed
+        (np.array([0], dtype=np.int64), 2),            # minimal group
+    ]:
+        got = [(pi, pj) for pi, pj in td._chunked_triu_pairs(rs, m)]
+        assert all(len(pi) <= max(7, m - 1) for pi, _ in got)
+        pi = np.concatenate([a for a, _ in got])
+        pj = np.concatenate([b for _, b in got])
+        iu, ju = np.triu_indices(m, 1)
+        pos = rs[:, None] + np.arange(m)[None, :]
+        want_i, want_j = pos[:, iu].ravel(), pos[:, ju].ravel()
+        assert sorted(zip(pi.tolist(), pj.tolist())) == sorted(
+            zip(want_i.tolist(), want_j.tolist())
+        )
+
+
 def test_signed_cache_lru_eviction(monkeypatch):
     """The session signature cache reuses the materialized Dataset per
     (sf_dir, config_hash) and evicts least-recently-used beyond its cap so
@@ -979,3 +1036,36 @@ def test_signed_cache_lru_eviction(monkeypatch):
     td._signed_cached("/a", cfg)                       # recomputed after evict
     assert calls == ["/a", "/b", "/c", "/d", "/e", "/a"]
     assert len(td._SIGNED_CACHE) <= td._SIGNED_CACHE_MAX
+
+
+def test_signed_cache_invalidates_on_rewrite_and_session(tmp_path, monkeypatch):
+    """ADVICE r4: the signature cache key folds in the corpus fingerprint
+    (stat-based) and the Ray session token — rewriting documents.parquet at
+    the same path, or a fresh Ray session, must recompute, never reuse."""
+    from entity_deduplication_hack_main_ray import config as cfg_mod
+    from entity_deduplication_hack_main_ray.pipelines import text_dedup as td
+
+    calls = []
+
+    class FakeDs:
+        def materialize(self):
+            return self
+
+    monkeypatch.setattr(td, "_signed", lambda d, c: (calls.append(d), FakeDs())[1])
+    monkeypatch.setattr(td, "_SIGNED_CACHE", {})
+    monkeypatch.setattr(td, "_ray_session_token", lambda: "sess1")
+    cfg = cfg_mod.PipelineConfig()
+
+    doc = tmp_path / "documents.parquet"
+    doc.write_bytes(b"v1")
+    td._signed_cached(str(tmp_path), cfg)
+    td._signed_cached(str(tmp_path), cfg)
+    assert len(calls) == 1                      # warm hit on unchanged input
+
+    doc.write_bytes(b"v2-longer")               # same path, new size+mtime
+    td._signed_cached(str(tmp_path), cfg)
+    assert len(calls) == 2                      # fingerprint change → recompute
+
+    monkeypatch.setattr(td, "_ray_session_token", lambda: "sess2")
+    td._signed_cached(str(tmp_path), cfg)
+    assert len(calls) == 3                      # new Ray session → recompute
