@@ -584,20 +584,98 @@ def _hot_band_keys(
     return np.sort(hot["band_key"].to_numpy().view(np.uint64))
 
 
+def _min_shared_key(
+    arr_i: np.ndarray, arr_j: np.ndarray, key_rows: np.ndarray
+) -> np.ndarray:
+    """Per pair, the minimum key shared by both members' padded key rows
+    (``_KEY_PAD`` when they share nothing — pad slots never count as
+    shared). Same tiled broadcast shape as ``oracle.owned_pair_mask``."""
+    out = np.empty(len(arr_i), dtype=np.uint64)
+    CH = 8192
+    for s in range(0, len(arr_i), CH):
+        Ka = key_rows[arr_i[s : s + CH]]
+        Kb = key_rows[arr_j[s : s + CH]]
+        eq = (Ka[:, :, None] == Kb[:, None, :]) & (
+            Ka[:, :, None] != _KEY_PAD
+        )
+        shared = np.where(
+            eq, np.broadcast_to(Ka[:, :, None], eq.shape), _KEY_PAD
+        )
+        out[s : s + CH] = shared.min(axis=(1, 2))
+    return out
+
+
+def _hot_bucket_recovery(
+    rows0: np.ndarray, mat: np.ndarray, max_bucket: int
+) -> tuple[list[np.ndarray], list[np.ndarray], int, int]:
+    """Recursive sub-split of ONE hot bucket (VERDICT r4 #4 — the
+    ``ann.py`` level-seeded recursion ported to the doc pipelines, with
+    band-position keys as the deterministic split signal instead of extra
+    hyperplanes): partition the member rows by their key at band position
+    ℓ = 0, 1, …; a subgroup ≤ ``max_bucket`` enumerates all-pairs (those
+    pairs agree on the hot key AND every key along the split path), a
+    subgroup still hot recurses at ℓ+1, and a group no position can split
+    (identical full key signatures) keeps the terminal SKIP+log fallback.
+    Returns (pair_i_blocks, pair_j_blocks, n_terminal_skipped,
+    terminal_member_total); pair indices index ``mat`` rows (= ``g`` rows).
+    """
+    pi: list[np.ndarray] = []
+    pj: list[np.ndarray] = []
+    n_term = 0
+    term_members = 0
+    kmax = mat.shape[1]
+    stack: list[tuple[np.ndarray, int]] = [(rows0, 0)]
+    while stack:
+        rows, lvl = stack.pop()
+        m = len(rows)
+        if m < 2:
+            continue
+        if m <= max_bucket:
+            iu, ju = np.triu_indices(m, 1)
+            pi.append(rows[iu])
+            pj.append(rows[ju])
+            continue
+        if lvl < kmax:
+            code = mat[rows, lvl]
+            uniq = np.unique(code)
+            if len(uniq) > 1:
+                stack.extend((rows[code == c], lvl + 1) for c in uniq)
+            else:
+                # this position can't split the group (e.g. the hot key's
+                # own band, where every member agrees) — try the next
+                stack.append((rows, lvl + 1))
+            continue
+        # identical key signature at EVERY band position: unsplittable —
+        # terminal skip, counted and logged by the caller (directive r4 #4
+        # keeps this as the honest fallback; a star here would fabricate
+        # candidate pairs the ownership rule can't place deterministically)
+        n_term += 1
+        term_members += m
+    return pi, pj, n_term, term_members
+
+
 def _owned_bucket_pairs(
     g: pa.Table, max_bucket: int, hot_keys: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Shared candidate kernel for the int-doc_id pipelines: re-group one
-    coarse partition by band_key, all-pairs within buckets (≤ max_bucket;
-    larger buckets SKIPPED with a logged stat — these document pipelines
-    have no digest-refinement payload), then min-shared-key ownership.
+    coarse partition by band_key, all-pairs within buckets (≤ max_bucket),
+    then min-shared-key ownership; buckets OVER the cap sub-split
+    recursively (``_hot_bucket_recovery``) instead of being skipped.
 
-    ``hot_keys`` (sorted uint64, from ``_hot_band_keys``) enables ownership
-    TRANSFER: hot keys are masked out of every doc's key list before the
-    min-shared-key test, so a pair co-occurring in both a hot and a small
-    bucket is owned by its minimum NON-hot shared key instead of silently
-    dying with the skipped hot bucket. Pairs whose every shared key is hot
-    are still lost — that loss is exactly the logged skip stat.
+    ``hot_keys`` (sorted uint64, from ``_hot_band_keys``) drives BOTH skew
+    mechanisms:
+
+    * ownership TRANSFER — hot keys are masked out of every doc's key list
+      before the min-shared-key test, so a pair co-occurring in both a hot
+      and a small bucket is owned by its minimum NON-hot shared key;
+    * hot-bucket RECOVERY — pairs whose EVERY shared key is hot (invisible
+      to the transfer path) are re-found inside the hot bucket's recursive
+      sub-split, then kept under a disjoint ownership rule: (a) the pair
+      shares NO non-hot key (else transfer owns it elsewhere) and (b) this
+      bucket is the pair's minimum shared HOT key — so across buckets and
+      partitions each recovered pair survives exactly once, with no dedup
+      exchange. Only identical-signature groups (unsplittable at every
+      band position) remain skip+logged.
 
     Returns (row_idx_a, row_idx_b) into ``g`` with id_a < id_b by doc_id."""
     band = g["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
@@ -617,8 +695,6 @@ def _owned_bucket_pairs(
     starts = np.nonzero(new)[0]
     sizes = np.diff(np.append(starts, len(b_s)))
     hot = sizes > max_bucket
-    n_hot_skipped = int(hot.sum())
-    hot_member_total = int(sizes[hot].sum())
     # emit all-pairs GROUPED BY BUCKET SIZE (one triu per distinct size ≤
     # max_bucket, each applied to every same-size bucket at once): the
     # per-bucket Python loop cost ~200 µs/bucket on skewed partitions —
@@ -634,28 +710,78 @@ def _owned_bucket_pairs(
         ai.append(order[pos[:, iu].ravel()])
         aj.append(order[pos[:, ju].ravel()])
         ak.append(np.repeat(b_s[rs], len(iu)))
-    if n_hot_skipped:
+
+    mat = None
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    if ai:
+        cat_i = np.concatenate(ai)
+        cat_j = np.concatenate(aj)
+        cat_k = np.concatenate(ak)
+        mat = _key_matrix_int64(g)
+        mat_transfer = mat
+        if hot_keys is not None and len(hot_keys):
+            mat_transfer = mat.copy()
+            mat_transfer[np.isin(mat_transfer, hot_keys)] = _KEY_PAD
+        own = owned_pair_mask(cat_i, cat_j, cat_k, mat_transfer)
+        out_i.append(cat_i[own])
+        out_j.append(cat_j[own])
+
+    if hot.any() and hot_keys is not None and len(hot_keys):
+        if mat is None:
+            mat = _key_matrix_int64(g)
+        rec_i, rec_j = [], []
+        rec_k: list[np.ndarray] = []
+        n_term = term_members = 0
+        for s0, m in zip(starts[hot], sizes[hot]):
+            pi, pj, nt, tm = _hot_bucket_recovery(
+                order[s0 : s0 + m], mat, max_bucket
+            )
+            rec_i.extend(pi)
+            rec_j.extend(pj)
+            rec_k.extend(
+                np.full(len(p), b_s[s0], dtype=np.uint64) for p in pi
+            )
+            n_term += nt
+            term_members += tm
+        if n_term:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "_owned_bucket_pairs: %d unsplittable hot group(s) "
+                "(identical key signatures, >%d members, %d member rows) "
+                "terminally skipped after recursive sub-split — pairs "
+                "inside them are dropped (logged, never silent)",
+                n_term, max_bucket, term_members,
+            )
+        if rec_i:
+            ri = np.concatenate(rec_i)
+            rj = np.concatenate(rec_j)
+            rk = np.concatenate(rec_k)
+            # rule (a): recovery only owns pairs the transfer path CANNOT
+            # see — any shared non-hot key means a small bucket owns them
+            hot_mask = np.isin(mat, hot_keys)
+            mat_nonhot = np.where(hot_mask, _KEY_PAD, mat)
+            eligible = _min_shared_key(ri, rj, mat_nonhot) == _KEY_PAD
+            # rule (b): dedup ACROSS hot buckets — keep the pair only where
+            # the generating bucket is its minimum shared hot key
+            mat_hot = np.where(hot_mask, mat, _KEY_PAD)
+            keep = eligible & owned_pair_mask(ri, rj, rk, mat_hot)
+            out_i.append(ri[keep])
+            out_j.append(rj[keep])
+    elif hot.any():
         import logging
 
         logging.getLogger(__name__).warning(
-            "_owned_bucket_pairs: skipped %d hot buckets (>%d members, "
-            "%d member rows) — pairs shared ONLY through hot buckets are "
-            "dropped%s",
-            n_hot_skipped, max_bucket, hot_member_total,
-            "" if hot_keys is not None and len(hot_keys)
-            else " (no hot-key transfer set supplied)",
+            "_owned_bucket_pairs: %d hot bucket(s) skipped with no "
+            "hot-key set supplied — recovery and transfer both need "
+            "_hot_band_keys",
+            int(hot.sum()),
         )
-    if not ai:
+
+    if not out_i:
         return np.array([], np.int64), np.array([], np.int64)
-    ai = np.concatenate(ai)
-    aj = np.concatenate(aj)
-    ak = np.concatenate(ak)
-    mat = _key_matrix_int64(g)
-    if hot_keys is not None and len(hot_keys):
-        mat = mat.copy()
-        mat[np.isin(mat, hot_keys)] = _KEY_PAD  # transfer ownership
-    own = owned_pair_mask(ai, aj, ak, mat)
-    return ai[own], aj[own]
+    return np.concatenate(out_i), np.concatenate(out_j)
 
 
 def ngram_jaccard_pairs(

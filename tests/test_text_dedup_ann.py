@@ -515,11 +515,67 @@ def test_hot_bucket_ownership_transfer():
     # without the transfer set: ownership points at the skipped hot bucket
     ia, ib = _owned_bucket_pairs(g, max_bucket=3)
     assert len(ia) == 0
-    # with it: the pair transfers to bucket S and survives exactly once
+    # with it: the pair transfers to bucket S and survives exactly once;
+    # docs 3-5 (shared-only-through-H, unreachable by transfer) are now
+    # RECOVERED by the hot bucket's recursive sub-split (VERDICT r4 #4) —
+    # round-4 code dropped them with a log line
     hot = np.array([H], dtype=np.uint64)
     ia, ib = _owned_bucket_pairs(g, max_bucket=3, hot_keys=hot)
-    got = {tuple(sorted((int(ids[a]), int(ids[b])))) for a, b in zip(ia, ib)}
-    assert got == {(1, 2)}
+    pairs = [tuple(sorted((int(ids[a]), int(ids[b])))) for a, b in zip(ia, ib)]
+    assert sorted(pairs) == [(1, 2), (3, 4), (3, 5), (4, 5)]  # no dup emits
+
+
+def test_hot_bucket_recursive_subsplit_recovery():
+    """VERDICT r4 #4 crafted case: a pair whose EVERY shared key is hot is
+    invisible to ownership transfer (round-4 code drops it, logged). The
+    recursive sub-split must recover it from within the hot bucket, emit it
+    EXACTLY once across the two hot buckets it inhabits (min-shared-hot-key
+    ownership), and keep the terminal skip for identical-signature groups."""
+    import pyarrow as pa
+
+    from entity_deduplication_hack_main_ray.pipelines.text_dedup import (
+        _owned_bucket_pairs,
+    )
+
+    H, G = 10, 20          # both hot; H < G → H owns the recovered pair
+    C3, C4, B5, B6 = 31, 32, 33, 34  # singleton fillers (never hot)
+    docs = {
+        1: [H, G], 2: [H, G],            # the recoverable pair: hot-only
+        3: [H, C3], 4: [H, C4],          # pad bucket H to hot size
+        5: [B5, G], 6: [B6, G],          # pad bucket G to hot size
+    }
+    rows = [(k, d, ks) for d, ks in docs.items() for k in ks]
+    g = pa.table(
+        {
+            "band_key": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "keys": pa.array([r[2] for r in rows], pa.list_(pa.int64())),
+        }
+    )
+    ids = g["doc_id"].to_numpy()
+    hot = np.array([H, G], dtype=np.uint64)
+    # round-4 behavior (reproduced by withholding the hot set): pair lost
+    ia, ib = _owned_bucket_pairs(g, max_bucket=2)
+    assert len(ia) == 0
+    # recovery: found in BOTH hot buckets' sub-splits, kept only under H
+    ia, ib = _owned_bucket_pairs(g, max_bucket=2, hot_keys=hot)
+    pairs = [tuple(sorted((int(ids[a]), int(ids[b])))) for a, b in zip(ia, ib)]
+    assert pairs == [(1, 2)]
+
+    # identical-signature hot group: unsplittable at every band position →
+    # terminal skip (logged), never a fabricated pair set
+    rows2 = [(k, d, [7, 8]) for d in (1, 2, 3) for k in (7, 8)]
+    g2 = pa.table(
+        {
+            "band_key": pa.array([r[0] for r in rows2], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows2], pa.int64()),
+            "keys": pa.array([r[2] for r in rows2], pa.list_(pa.int64())),
+        }
+    )
+    ia, ib = _owned_bucket_pairs(
+        g2, max_bucket=2, hot_keys=np.array([7, 8], dtype=np.uint64)
+    )
+    assert len(ia) == 0
 
 
 def test_hot_band_keys_discovery(ray_session):
