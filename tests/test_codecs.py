@@ -49,3 +49,32 @@ def test_decode_dispatch_and_stub_gate():
 def test_psnr_identical_is_inf():
     img = _img()
     assert psnr(img, img) == float("inf")
+
+
+def test_real_jpeg_gate_without_pil():
+    """VERDICT r4 #5: a REAL JFIF payload (SOI marker) must hit the explicit
+    UnsupportedFormatError gate when PIL/libjpeg is absent — never be
+    mis-parsed by the FakeJpeg stand-in."""
+    from entity_deduplication_hack_main_ray.functions import codecs
+
+    if codecs.HAVE_PIL:
+        pytest.skip("PIL present: the gate path does not apply")
+    real_jpeg_prefix = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00" + b"\x00" * 32
+    with pytest.raises(codecs.UnsupportedFormatError):
+        decode_image(real_jpeg_prefix, "jpeg")
+
+
+def test_real_jpeg_decode_with_pil():
+    """Auto-skips unless PIL exists (production images): real JPEG
+    round-trips through PIL/libjpeg via the same decode_image entry."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from entity_deduplication_hack_main_ray.functions import codecs
+
+    img = (np.arange(24 * 24 * 3) % 251).astype(np.uint8).reshape(24, 24, 3)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(img).save(buf, format="JPEG", quality=95)
+    out = decode_image(buf.getvalue(), "jpeg")
+    assert out.shape == img.shape
+    assert codecs.psnr(img, out) >= 30.0
