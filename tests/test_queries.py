@@ -52,7 +52,9 @@ def test_query_matches_oracle(ray_session, name):
     assert sorted(ray_df.columns) == sorted(duck_df.columns), f"{name}: schema"
     a, b = _canon(ray_df), _canon(duck_df)
     for c in a.columns:
-        if np.issubdtype(a[c].dtype, np.floating):
+        # pd.api.types handles pandas extension dtypes (e.g. the rollup's
+        # nullable Int64) that np.issubdtype cannot interpret
+        if pd.api.types.is_float_dtype(a[c]):
             assert np.allclose(a[c], b[c].astype(float), atol=1e-9), f"{name}.{c}"
         else:
             assert (
