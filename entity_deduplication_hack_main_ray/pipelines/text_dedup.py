@@ -345,15 +345,19 @@ def _ray_session_token() -> str:
     return ""
 
 
-def _signed_cached(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
+def _sig_cache_key(sf_dir: str, cfg: PipelineConfig) -> tuple[str, str, str, str]:
     from ..state.checkpoint import fingerprint_input
 
-    key = (
+    return (
         sf_dir,
         cfg.config_hash(),
         fingerprint_input(f"{sf_dir}/documents.parquet"),
         _ray_session_token(),
     )
+
+
+def _signed_cached(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
+    key = _sig_cache_key(sf_dir, cfg)
     ds = _SIGNED_CACHE.pop(key, None)
     if ds is None:
         ds = _signed(sf_dir, cfg).materialize()
@@ -361,6 +365,32 @@ def _signed_cached(sf_dir: str, cfg: PipelineConfig) -> ray.data.Dataset:
             _SIGNED_CACHE.pop(next(iter(_SIGNED_CACHE)))
     _SIGNED_CACHE[key] = ds  # re-insert == move to MRU end (dict order)
     return ds
+
+
+# Hot-key sets are a pure function of (signature cache identity, explode
+# family, max_bucket) — the simhash family's 3 driver-sweep queries and
+# repeat ngram calls otherwise re-run the same partial-agg + groupby count
+# per call over the pinned signature blocks. Same invalidation fields as
+# _SIGNED_CACHE (corpus fingerprint + Ray session), same LRU discipline.
+_HOT_KEYS_CACHE: dict[tuple, np.ndarray] = {}
+_HOT_KEYS_CACHE_MAX = 8
+
+
+def _hot_band_keys_cached(
+    exploded: ray.data.Dataset,
+    max_bucket: int,
+    sf_dir: str,
+    cfg: PipelineConfig,
+    family: str,
+) -> np.ndarray:
+    key = (family, max_bucket, *_sig_cache_key(sf_dir, cfg))
+    hot = _HOT_KEYS_CACHE.pop(key, None)
+    if hot is None:
+        hot = _hot_band_keys(exploded, max_bucket)
+        while len(_HOT_KEYS_CACHE) >= _HOT_KEYS_CACHE_MAX:
+            _HOT_KEYS_CACHE.pop(next(iter(_HOT_KEYS_CACHE)))
+    _HOT_KEYS_CACHE[key] = hot
+    return hot
 
 
 def _pad20(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
@@ -875,6 +905,8 @@ def _segmented_jaccard(
     CSR view into ``values`` (per-doc sorted unique shingle hashes)."""
 
     def seg_of(ids: np.ndarray) -> np.ndarray:
+        if not len(ids):
+            return np.empty(0, np.int64)
         p = np.searchsorted(sdoc_sorted, ids)
         if len(sdoc_sorted) == 0 or (
             (p >= len(sdoc_sorted)).any()
@@ -886,33 +918,55 @@ def _segmented_jaccard(
             )
         return p
 
-    pa_, pb_ = seg_of(ia), seg_of(ib)
-    la, lb = lens[pa_], lens[pb_]
-    npair = len(ia)
+    pa_all, pb_all = seg_of(ia), seg_of(ib)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    # chunk over pair blocks so the gathered value arrays stay bounded
+    # (~2 × block × avg-shingles elements) regardless of partition size
+    BLOCK = 8192
+    for s in range(0, len(ia), BLOCK):
+        pa_, pb_ = pa_all[s : s + BLOCK], pb_all[s : s + BLOCK]
+        la, lb = lens[pa_], lens[pb_]
+        npair = len(pa_)
 
-    def gather(pos: np.ndarray, ln: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        run = np.cumsum(ln) - ln
-        within = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(run, ln)
-        idx = np.repeat(starts[pos], ln) + within
-        seg = np.repeat(np.arange(npair, dtype=np.int64), ln)
-        return values[idx], seg
+        def gather(pos: np.ndarray, ln: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            run = np.cumsum(ln) - ln
+            within = np.arange(int(ln.sum()), dtype=np.int64) - np.repeat(
+                run, ln
+            )
+            idx = np.repeat(starts[pos], ln) + within
+            seg = np.repeat(np.arange(npair, dtype=np.int64), ln)
+            return values[idx], seg
 
-    va, sa_seg = gather(pa_, la)
-    vb, sb_seg = gather(pb_, lb)
-    V = np.concatenate([va, vb])
-    S = np.concatenate([sa_seg, sb_seg])
-    o = np.lexsort((V, S))
-    Vs, Ss = V[o], S[o]
-    dup = (Ss[1:] == Ss[:-1]) & (Vs[1:] == Vs[:-1])
-    inter = np.bincount(Ss[1:][dup], minlength=npair)
-    union = la + lb - inter
-    j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
-    keep = j >= threshold
+        va, sa_seg = gather(pa_, la)
+        vb, sb_seg = gather(pb_, lb)
+        V = np.concatenate([va, vb])
+        S = np.concatenate([sa_seg, sb_seg])
+        o = np.lexsort((V, S))
+        Vs, Ss = V[o], S[o]
+        dup = (Ss[1:] == Ss[:-1]) & (Vs[1:] == Vs[:-1])
+        inter = np.bincount(Ss[1:][dup], minlength=npair)
+        union = la + lb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = j >= threshold
+        out_a.append(ia[s : s + BLOCK][keep])
+        out_b.append(ib[s : s + BLOCK][keep])
+        out_j.append(j[keep])
     return pa.table(
         {
-            "id_a": pa.array(ia[keep], pa.int64()),
-            "id_b": pa.array(ib[keep], pa.int64()),
-            "jaccard": pa.array(j[keep], pa.float64()),
+            "id_a": pa.array(
+                np.concatenate(out_a) if out_a else np.empty(0, np.int64),
+                pa.int64(),
+            ),
+            "id_b": pa.array(
+                np.concatenate(out_b) if out_b else np.empty(0, np.int64),
+                pa.int64(),
+            ),
+            "jaccard": pa.array(
+                np.concatenate(out_j) if out_j else np.empty(0, np.float64),
+                pa.float64(),
+            ),
         }
     )
 
@@ -989,8 +1043,11 @@ def ngram_jaccard_pairs(
 
     max_bucket = cfg.max_bucket
     # hot-key transfer set: a pre-aggregated count over the SAME pinned
-    # signature blocks (no second read+sign pass of the corpus)
-    hot_ref = ray.put(_hot_band_keys(cands, max_bucket))
+    # signature blocks (no second read+sign pass of the corpus), cached
+    # per session alongside the signatures
+    hot_ref = ray.put(
+        _hot_band_keys_cached(cands, max_bucket, sf_dir, cfg, "minhash")
+    )
     P2 = 64
 
     def emit(g: pa.Table) -> pa.Table:
@@ -1091,7 +1148,7 @@ def ngram_jaccard_pairs(
             )
 
         out = pairs.map_batches(
-            verify_broadcast, batch_format="pyarrow", batch_size=65536
+            verify_broadcast, batch_format="pyarrow", batch_size=8192
         ).to_pandas()
         if out.empty:
             return typed_empty(id_a="int64", id_b="int64", jaccard="float64")
@@ -1236,7 +1293,9 @@ def _simhash_edge_dataset(
 
     max_bucket = 512
     exploded = signed.map_batches(chunk_explode, batch_format="pyarrow")
-    hot_ref = ray.put(_hot_band_keys(exploded, max_bucket))
+    hot_ref = ray.put(
+        _hot_band_keys_cached(exploded, max_bucket, sf_dir, cfg, "simhash")
+    )
 
     def emit(g: pa.Table) -> pa.Table:
         ia, ib = _owned_bucket_pairs(g, max_bucket, ray.get(hot_ref))

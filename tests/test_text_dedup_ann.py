@@ -1141,3 +1141,37 @@ def test_signed_cache_invalidates_on_rewrite_and_session(tmp_path, monkeypatch):
     monkeypatch.setattr(td, "_ray_session_token", lambda: "sess2")
     td._signed_cached(str(tmp_path), cfg)
     assert len(calls) == 3                      # new Ray session → recompute
+
+
+def test_hot_keys_cache_shares_and_invalidates(tmp_path, monkeypatch):
+    """The per-session hot-key cache reuses the counted set for the same
+    (family, max_bucket, corpus fingerprint, config, Ray session) and
+    recomputes when any of them changes — same invalidation fields as the
+    signature cache."""
+    from entity_deduplication_hack_main_ray import config as cfg_mod
+    from entity_deduplication_hack_main_ray.pipelines import text_dedup as td
+
+    calls = []
+    monkeypatch.setattr(
+        td, "_hot_band_keys",
+        lambda ds, mb: (calls.append(mb), np.array([1], np.uint64))[1],
+    )
+    monkeypatch.setattr(td, "_HOT_KEYS_CACHE", {})
+    monkeypatch.setattr(td, "_ray_session_token", lambda: "s1")
+    cfg = cfg_mod.PipelineConfig()
+    doc = tmp_path / "documents.parquet"
+    doc.write_bytes(b"v1")
+
+    td._hot_band_keys_cached(None, 512, str(tmp_path), cfg, "simhash")
+    td._hot_band_keys_cached(None, 512, str(tmp_path), cfg, "simhash")
+    assert calls == [512]                       # warm hit
+    td._hot_band_keys_cached(None, 512, str(tmp_path), cfg, "minhash")
+    assert calls == [512, 512]                  # family is part of the key
+    td._hot_band_keys_cached(None, 64, str(tmp_path), cfg, "simhash")
+    assert calls == [512, 512, 64]              # max_bucket too
+    doc.write_bytes(b"v2-longer")               # corpus rewrite invalidates
+    td._hot_band_keys_cached(None, 512, str(tmp_path), cfg, "simhash")
+    assert calls == [512, 512, 64, 512]
+    monkeypatch.setattr(td, "_ray_session_token", lambda: "s2")
+    td._hot_band_keys_cached(None, 512, str(tmp_path), cfg, "simhash")
+    assert calls == [512, 512, 64, 512, 512]    # new Ray session too
