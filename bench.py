@@ -126,21 +126,39 @@ def run_bench(num_cpus: int) -> dict:
     }
 
 
+def _cpu_busy_fraction(sample_s: float = 3.0) -> float:
+    """Host-wide busy CPU fraction over a short instantaneous sample
+    (/proc/stat deltas) — unlike the 1-min load average, this does not
+    trail a tenancy burst that started seconds ago."""
+
+    def snap() -> tuple[int, int]:
+        with open("/proc/stat") as f:
+            parts = [int(x) for x in f.readline().split()[1:]]
+        idle = parts[3] + parts[4]  # idle + iowait
+        return sum(parts), idle
+
+    t0, i0 = snap()
+    time.sleep(sample_s)
+    t1, i1 = snap()
+    dt = t1 - t0
+    return 1.0 - (i1 - i0) / dt if dt else 0.0
+
+
 def _wait_for_idle_host(threshold: float, max_wait_s: int = 900) -> float:
-    """Block until the 1-min load average drops under ``threshold`` (or
-    ``max_wait_s`` elapses) and return the load at release. Opt-in via
-    GRAFT_SCALING_IDLE_GATE: this sandbox host is multi-tenant, and an
-    external job landing mid-leg corrupts that leg's throughput — gating
-    EACH leg reproduces what the real criterion measures (two separate
-    `ray job submit` runs on otherwise-idle fixed-size clusters). The gate
-    only ever delays a leg; it never changes what the leg runs."""
+    """Block until the host's instantaneous busy-CPU fraction drops under
+    ``threshold`` (or ``max_wait_s`` elapses) and return the fraction at
+    release. Opt-in via GRAFT_SCALING_IDLE_GATE: this sandbox host is
+    multi-tenant, and an external job landing mid-leg corrupts that leg's
+    throughput — gating EACH leg reproduces what the real criterion
+    measures (two separate `ray job submit` runs on otherwise-idle
+    fixed-size clusters). The gate only ever delays a leg; it never
+    changes what the leg runs."""
     deadline = time.monotonic() + max_wait_s
     while True:
-        with open("/proc/loadavg") as f:
-            load = float(f.read().split()[0])
-        if load < threshold or time.monotonic() >= deadline:
-            return load
-        time.sleep(10)
+        busy = _cpu_busy_fraction()
+        if busy < threshold or time.monotonic() >= deadline:
+            return round(busy, 4)
+        time.sleep(7)
 
 
 def _run_subprocess(num_cpus: int, corpus_dir: str | None = None) -> dict:
