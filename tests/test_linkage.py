@@ -1,0 +1,127 @@
+"""Record-linkage pipeline (SURVEY.md §2.3 T6 analog): vectorized
+Levenshtein kernel vs a pure-python reference, link semantics (near-dups
+link back, garbled decoys rejected), determinism, and the full
+driver-style oracle compare at sf0.01 (test_queries.py already runs the
+sf0.001 compare via the oracle_sql registry)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+from entity_deduplication_hack_main_ray.pipelines.linkage import (
+    _GARBLED_OFFSET,
+    _NEAR_OFFSET,
+    levenshtein_matrix,
+    record_linkage,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook Wagner-Fischer, row-rolling — the independent reference."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_levenshtein_kernel_matches_reference():
+    left = ["", "a", "kitten", "sitting", "Customer#000000042",
+            "flaw", "saturday", "xyz"]
+    right = ["", "b", "sitting", "kitten", "Customer#00000004",
+             "lawn", "sunday", "xyzxyzxyz"]
+    got = levenshtein_matrix(left, right)
+    for i, a in enumerate(left):
+        for j, b in enumerate(right):
+            assert got[i, j] == _lev_ref(a, b), (a, b)
+
+
+def test_levenshtein_kernel_empty_sides():
+    assert levenshtein_matrix([], ["a"]).shape == (0, 1)
+    assert levenshtein_matrix(["a"], []).shape == (1, 0)
+    assert levenshtein_matrix(["", ""], [""]).tolist() == [[0], [0]]
+
+
+def test_record_linkage_semantics(ray_session):
+    out = record_linkage(SF_DIR)
+    near = out[out["r_id"] < _GARBLED_OFFSET]
+    # every near-dup right links back to exactly its original
+    assert len(near) > 0
+    assert (near["l_id"] == near["r_id"] - _NEAR_OFFSET).all()
+    # every garbled decoy is rejected by the threshold
+    assert (out["r_id"] >= _GARBLED_OFFSET).sum() == 0
+    # one-to-one on the right side
+    assert out["r_id"].is_unique
+    # threshold respected
+    assert (out["score_e6"] >= 500_000).all()
+
+
+def test_record_linkage_deterministic(ray_session):
+    a = record_linkage(SF_DIR)
+    b = record_linkage(SF_DIR)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_record_linkage_threshold_knob(ray_session):
+    """A threshold above the near-dup score empties the result (F5-style
+    pass/fail gate is real, not decorative)."""
+    out = record_linkage(SF_DIR, threshold_e6=999_999)
+    assert len(out) == 0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_record_linkage_matches_oracle(ray_session, sf_dir):
+    """The exact driver compare (rows, schema, canonicalized values) at two
+    scale factors — sf0.01 is what the round driver would run."""
+    got = record_linkage(sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["record_linkage"]).fetchdf()
+    con.close()
+    assert len(got) == len(want)
+    assert sorted(got.columns) == sorted(want.columns)
+    a = got.sort_values(["r_id"]).reset_index(drop=True)
+    b = (
+        want.astype({"r_id": "int64", "l_id": "int64", "score_e6": "int64"})
+        .sort_values(["r_id"])
+        .reset_index(drop=True)[a.columns]
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_record_linkage_single_side_block(ray_session):
+    """A block present on only one side emits nothing (the reference's
+    'only types present in both graphs are compared', B1)."""
+    from entity_deduplication_hack_main_ray.pipelines.linkage import (
+        _link_block,
+    )
+
+    g = pd.DataFrame(
+        {
+            "rec_id": [1, 2],
+            "name": ["a", "b"],
+            "nk": [0, 0],
+            "bal_cents": [100, 200],
+            "seg": ["X", "Y"],
+            "side": np.array([0, 0], dtype=np.int8),
+        }
+    )
+    out = _link_block(g, 500_000)
+    assert len(out) == 0
+    assert list(out.columns) == ["r_id", "l_id", "score_e6"]
