@@ -62,6 +62,12 @@ _W_SEG = 0.25
 _W_BAL = 0.15
 _BAL_TOL_CENTS = 10
 
+# bound on |L|·|R_chunk| pairs materialized per Levenshtein DP call, so one
+# oversized block degrades to more iterations instead of an OOM (the
+# text_dedup._PAIR_CHUNK pattern). Per-right top-1 is independent across
+# right records, so chunking the right side is semantics-free.
+_LINK_PAIR_CHUNK = 1 << 22
+
 
 def levenshtein_matrix(left: list[str], right: list[str]) -> np.ndarray:
     """Edit-distance matrix between every left/right string pair.
@@ -157,9 +163,37 @@ def _emit_sides(t: pa.Table) -> pa.Table:
     )
 
 
-def _link_block(g: pd.DataFrame, threshold_e6: int) -> pd.DataFrame:
+def _score_chunk(
+    l_names: list[str],
+    r_names: list[str],
+    l_seg: np.ndarray,
+    r_seg: np.ndarray,
+    l_bal: np.ndarray,
+    r_bal: np.ndarray,
+) -> np.ndarray:
+    """Fused (L, R_chunk) integer score matrix for one right-side chunk."""
+    lev = levenshtein_matrix(l_names, r_names).astype(np.float64)
+    la = np.array([len(s) for s in l_names], dtype=np.float64)[:, None]
+    ra = np.array([len(s) for s in r_names], dtype=np.float64)[None, :]
+    name_sim = 1.0 - lev / np.maximum(la, ra)
+    seg_eq = (l_seg[:, None] == r_seg[None, :]).astype(np.float64)
+    bal_close = (
+        np.abs(l_bal[:, None] - r_bal[None, :]) <= _BAL_TOL_CENTS
+    ).astype(np.float64)
+    # float64 expression mirrors the oracle SQL term-for-term (same
+    # operation order → bit-identical doubles → identical floor)
+    score = _W_NAME * name_sim + _W_SEG * seg_eq + _W_BAL * bal_close
+    return np.floor(score * 1_000_000 + 0.5).astype(np.int64)
+
+
+def _link_block(
+    g: pd.DataFrame, threshold_e6: int, pair_chunk: int = _LINK_PAIR_CHUNK
+) -> pd.DataFrame:
     """All-pairs compare inside ONE block (both sides co-located by the
-    groupby shuffle), score fusion, per-right top-1 + threshold."""
+    groupby shuffle), score fusion, per-right top-1 + threshold. The right
+    side is processed in chunks bounding live pairs to ``pair_chunk`` —
+    per-right top-1 is independent across rights, so the chunked result is
+    byte-equal to the monolithic one."""
     lg = g[g["side"] == 0]
     rg = g[g["side"] == 1]
     empty = pd.DataFrame(
@@ -172,46 +206,42 @@ def _link_block(g: pd.DataFrame, threshold_e6: int) -> pd.DataFrame:
     if lg.empty or rg.empty:  # block present on one side only → no pairs
         return empty
 
-    l_names = lg["name"].tolist()
-    r_names = rg["name"].tolist()
-    lev = levenshtein_matrix(l_names, r_names).astype(np.float64)  # (L, R)
-    la = np.array([len(s) for s in l_names], dtype=np.float64)[:, None]
-    ra = np.array([len(s) for s in r_names], dtype=np.float64)[None, :]
-    name_sim = 1.0 - lev / np.maximum(la, ra)
+    # per-right top-1, ties broken by smallest l_id: with rows pre-sorted
+    # by l_id ascending, argmax's first-max rule picks the smallest l_id
+    l_ids_raw = lg["rec_id"].to_numpy()
+    order = np.argsort(l_ids_raw, kind="stable")
+    l_ids = l_ids_raw[order]
+    l_names = [lg["name"].iat[i] for i in order]
+    l_seg = lg["seg"].to_numpy(dtype=object)[order]
+    l_bal = lg["bal_cents"].to_numpy()[order]
 
-    seg_eq = (
-        lg["seg"].to_numpy(dtype=object)[:, None]
-        == rg["seg"].to_numpy(dtype=object)[None, :]
-    ).astype(np.float64)
-    bal_close = (
-        np.abs(
-            lg["bal_cents"].to_numpy()[:, None]
-            - rg["bal_cents"].to_numpy()[None, :]
+    r_names_all = rg["name"].tolist()
+    r_seg_all = rg["seg"].to_numpy(dtype=object)
+    r_bal_all = rg["bal_cents"].to_numpy()
+    r_ids_all = rg["rec_id"].to_numpy()
+
+    step = max(1, pair_chunk // max(1, len(l_ids)))
+    out_frames: list[pd.DataFrame] = []
+    for s in range(0, len(r_ids_all), step):
+        e = s + step
+        score_e6 = _score_chunk(
+            l_names, r_names_all[s:e], l_seg, r_seg_all[s:e],
+            l_bal, r_bal_all[s:e],
         )
-        <= _BAL_TOL_CENTS
-    ).astype(np.float64)
-
-    # float64 expression mirrors the oracle SQL term-for-term (same
-    # operation order → bit-identical doubles → identical floor)
-    score = _W_NAME * name_sim + _W_SEG * seg_eq + _W_BAL * bal_close
-    score_e6 = np.floor(score * 1_000_000 + 0.5).astype(np.int64)  # (L, R)
-
-    # per-right top-1, ties broken by smallest l_id: lexsort picks the
-    # max-score row per column with l_id ascending (lg is already in
-    # ascending rec_id order per scan; stable argmax via negated score)
-    l_ids = lg["rec_id"].to_numpy()
-    order = np.argsort(l_ids, kind="stable")
-    score_o = score_e6[order]
-    best_pos = np.argmax(score_o, axis=0)  # first max → smallest l_id
-    best_score = score_o[best_pos, np.arange(score_o.shape[1])]
-    keep = best_score >= threshold_e6
-    return pd.DataFrame(
-        {
-            "r_id": rg["rec_id"].to_numpy()[keep],
-            "l_id": l_ids[order][best_pos[keep]],
-            "score_e6": best_score[keep],
-        }
-    )
+        best_pos = np.argmax(score_e6, axis=0)  # first max → smallest l_id
+        best_score = score_e6[best_pos, np.arange(score_e6.shape[1])]
+        keep = best_score >= threshold_e6
+        out_frames.append(
+            pd.DataFrame(
+                {
+                    "r_id": r_ids_all[s:e][keep],
+                    "l_id": l_ids[best_pos[keep]],
+                    "score_e6": best_score[keep],
+                }
+            )
+        )
+    out = pd.concat(out_frames, ignore_index=True)
+    return out if len(out) else empty
 
 
 def record_linkage(sf_dir: str, threshold_e6: int = 500_000) -> pd.DataFrame:

@@ -105,6 +105,38 @@ def test_record_linkage_matches_oracle(ray_session, sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_link_block_chunked_equals_monolithic():
+    """Forced pair_chunk=1 (one right record per DP call) must be
+    byte-equal to the monolithic path — per-right top-1 is independent
+    across rights, so chunking cannot change the result."""
+    from entity_deduplication_hack_main_ray.pipelines.linkage import (
+        _link_block,
+    )
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 23, 17
+    names = [f"Customer#{i:09d}" for i in range(n_l)]
+    r_names = [names[int(i)][:-1] for i in rng.integers(0, n_l, n_r)]
+    g = pd.DataFrame(
+        {
+            "rec_id": list(range(n_l)) + [10_000 + i for i in range(n_r)],
+            "name": names + r_names,
+            "nk": [0] * (n_l + n_r),
+            "bal_cents": list(rng.integers(0, 1000, n_l))
+            + list(rng.integers(0, 1000, n_r)),
+            "seg": list(rng.choice(["A", "B"], n_l))
+            + list(rng.choice(["A", "B"], n_r)),
+            "side": np.array([0] * n_l + [1] * n_r, dtype=np.int8),
+        }
+    )
+    mono = _link_block(g, 400_000, pair_chunk=1 << 22)
+    tiny = _link_block(g, 400_000, pair_chunk=1)
+    pd.testing.assert_frame_equal(
+        mono.reset_index(drop=True), tiny.reset_index(drop=True)
+    )
+    assert len(mono) > 0
+
+
 def test_record_linkage_single_side_block(ray_session):
     """A block present on only one side emits nothing (the reference's
     'only types present in both graphs are compared', B1)."""
