@@ -77,21 +77,25 @@ def levenshtein_matrix(left: list[str], right: list[str]) -> np.ndarray:
     so the Python-level loop is O(max_len_a · max_len_b) iterations of
     whole-array numpy ops — never a per-pair loop. Strings are padded to
     fixed width; per-string true lengths select the final DP cell.
+    Distances are CHARACTER-level (UTF-32 code units, matching DuckDB's
+    ``levenshtein`` and the textbook definition — the substring family's
+    character-exact convention), not UTF-8 bytes.
     """
     nl, nr = len(left), len(right)
     if nl == 0 or nr == 0:
         return np.zeros((nl, nr), dtype=np.int32)
-    lb = [s.encode("utf-8") for s in left]
-    rb = [s.encode("utf-8") for s in right]
+    lb = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in left]
+    rb = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+          for s in right]
     la = np.array([len(b) for b in lb], dtype=np.int32)
     lr = np.array([len(b) for b in rb], dtype=np.int32)
     ml, mr = int(la.max()), int(lr.max())
-    lmat = np.zeros((nl, ml), dtype=np.uint8)
+    lmat = np.zeros((nl, ml), dtype=np.uint32)
     for i, b in enumerate(lb):
-        lmat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-    rmat = np.zeros((nr, mr), dtype=np.uint8)
+        lmat[i, : len(b)] = b
+    rmat = np.zeros((nr, mr), dtype=np.uint32)
     for j, b in enumerate(rb):
-        rmat[j, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+        rmat[j, : len(b)] = b
 
     # pair-major layout: pair p = (i*nr + j)
     a_chars = np.repeat(lmat, nr, axis=0)  # (P, ml)

@@ -48,6 +48,19 @@ def test_levenshtein_kernel_matches_reference():
             assert got[i, j] == _lev_ref(a, b), (a, b)
 
 
+def test_levenshtein_kernel_character_level_unicode():
+    """Distances count CHARACTERS (code points), not UTF-8 bytes —
+    'Müller' vs 'Muller' is 1 edit even though ü is 2 bytes; matches
+    DuckDB's levenshtein and the pure-python reference."""
+    left = ["Müller", "東京都", "naïve", "café"]
+    right = ["Muller", "京都", "naive", "cafe"]
+    got = levenshtein_matrix(left, right)
+    for i, a in enumerate(left):
+        for j, b in enumerate(right):
+            assert got[i, j] == _lev_ref(a, b), (a, b)
+    assert got[0, 0] == 1 and got[1, 1] == 1
+
+
 def test_levenshtein_kernel_empty_sides():
     assert levenshtein_matrix([], ["a"]).shape == (0, 1)
     assert levenshtein_matrix(["a"], []).shape == (1, 0)
