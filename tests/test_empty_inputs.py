@@ -16,7 +16,7 @@ SRC = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def empty_sf(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("empty_sf"))
-    for t in ["documents", "events", "orders", "embeddings"]:
+    for t in ["documents", "events", "orders", "embeddings", "customer"]:
         tbl = duckdb.sql(
             f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0"
         ).arrow()
@@ -62,6 +62,7 @@ CASES = [
     ("audio_frame_features", ["media_id", "frame_idx", "energy_e6",
                               "centroid_mhz"]),
     ("video_frame_stats", ["media_id", "frame_idx", "mean_e6"]),
+    ("record_linkage", ["r_id", "l_id", "score_e6"]),
 ]
 # (customer_region_rollup is absent from CASES because SQL ROLLUP yields
 # ONE grand-total row even on empty input — pinned by its own test below.)
