@@ -248,27 +248,103 @@ def _link_block(
     return out if len(out) else empty
 
 
-def record_linkage(sf_dir: str, threshold_e6: int = 500_000) -> pd.DataFrame:
+def _salt_blocks(t: pa.Table, salt: int) -> pa.Table:
+    """Sub-block key: lefts hash-salt into ``salt`` sub-blocks of their
+    block, rights REPLICATE to every sub-block — per-right top-1 over a
+    partition of the lefts, merged associatively afterwards, equals the
+    unsalted global top-1 (max score, then min l_id, is associative)."""
+    from ..functions.hashing import splitmix64
+
+    nk = t["nk"].to_numpy().astype(np.int64)
+    side = t["side"].to_numpy()
+    rec = t["rec_id"].to_numpy()
+    left = side == 0
+    s_of_left = (
+        splitmix64(rec.astype(np.uint64)) % np.uint64(salt)
+    ).astype(np.int64)
+    bkey_left = nk[left] * salt + s_of_left[left]
+    n_r = int((~left).sum())
+    rep_idx = np.repeat(np.nonzero(~left)[0], salt)
+    bkey_right = nk[~left].repeat(salt) * salt + np.tile(
+        np.arange(salt, dtype=np.int64), n_r
+    )
+    keep_idx = np.concatenate([np.nonzero(left)[0], rep_idx])
+    out = t.take(pa.array(keep_idx))
+    return out.append_column(
+        "bkey", pa.array(np.concatenate([bkey_left, bkey_right]))
+    )
+
+
+def _merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+    """Associative per-right merge of sub-block winners: max score, ties to
+    the smallest l_id — one vectorized sort + drop_duplicates."""
+    return g.sort_values(
+        ["r_id", "score_e6", "l_id"],
+        ascending=[True, False, True],
+        kind="stable",
+    ).drop_duplicates("r_id")[["r_id", "l_id", "score_e6"]]
+
+
+def record_linkage(
+    sf_dir: str, threshold_e6: int = 500_000, left_salt: int = 1
+) -> pd.DataFrame:
     """Link derived dirty records back to the customer table (T6 analog).
 
     Returns one row per linked right record: (r_id, l_id, score_e6).
     Near-duplicate rights (id ≥ 1e9, < 2e9) must link to their originals;
     garbled rights (id ≥ 2e9) must be absent (below threshold).
+
+    ``left_salt`` > 1 is the SCALE path: block parallelism is otherwise
+    capped at block-key cardinality (25 nations here), so each block's
+    lefts hash-split into ``left_salt`` sub-blocks with the rights
+    replicated to each, and a second tiny exchange merges the sub-block
+    winners per right (byte-equal to the unsalted plan — pytest). At
+    10^12 rows pick ``left_salt`` so |L_block|/salt × chunk fits a worker
+    and blocks × salt ≥ cluster slots; right replication costs
+    salt × |R| rows, which the per-right top-1 keeps that shuffle-light.
     """
     ds = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal",
                  "c_mktsegment"],
     )
-    out = (
-        ds.map_batches(_emit_sides, batch_format="pyarrow")
-        .groupby("nk")
-        .map_groups(
+    sides = ds.map_batches(_emit_sides, batch_format="pyarrow")
+    if left_salt <= 1:
+        linked = sides.groupby("nk").map_groups(
             lambda g: _link_block(g, threshold_e6), batch_format="pandas"
         )
-        .to_pandas()
+    else:
+        # merge exchange is COARSE (splitmix(r_id) % P partitions, one
+        # vectorized kernel per partition) — never per-r_id groups
+        from ..functions.hashing import splitmix64
+
+        P = 32
+
+        def add_pkey(g: pd.DataFrame) -> pd.DataFrame:
+            g = _merge_topk(g)  # pre-reduce: ≤1 row per r_id leaves the block
+            g["pkey"] = (
+                splitmix64(g["r_id"].to_numpy().astype(np.uint64))
+                % np.uint64(P)
+            ).astype(np.int64)
+            return g
+
+        linked = (
+            sides.map_batches(
+                lambda t: _salt_blocks(t, left_salt), batch_format="pyarrow"
+            )
+            .groupby("bkey")
+            .map_groups(
+                lambda g: add_pkey(_link_block(g, threshold_e6)),
+                batch_format="pandas",
+            )
+            .groupby("pkey")
+            .map_groups(
+                lambda g: _merge_topk(g), batch_format="pandas"
+            )
+        )
+    out = ensure_cols(
+        linked.to_pandas(), r_id="int64", l_id="int64", score_e6="int64"
     )
-    out = ensure_cols(out, r_id="int64", l_id="int64", score_e6="int64")
     return (
         out.astype({"r_id": "int64", "l_id": "int64", "score_e6": "int64"})
         .sort_values("r_id")

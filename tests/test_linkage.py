@@ -118,6 +118,17 @@ def test_record_linkage_matches_oracle(ray_session, sf_dir):
     pd.testing.assert_frame_equal(a, b)
 
 
+@pytest.mark.parametrize("salt", [2, 5])
+def test_record_linkage_salted_equals_unsalted(ray_session, salt):
+    """left_salt > 1 (the scale path: lefts hash-split per block, rights
+    replicated, sub-winners merged per right) must be byte-equal to the
+    unsalted plan — per-right top-1 with (max score, min l_id) tie-break
+    is associative over any partition of the lefts."""
+    base = record_linkage(SF_DIR)
+    salted = record_linkage(SF_DIR, left_salt=salt)
+    pd.testing.assert_frame_equal(base, salted)
+
+
 def test_link_block_chunked_equals_monolithic():
     """Forced pair_chunk=1 (one right record per DP call) must be
     byte-equal to the monolithic path — per-right top-1 is independent
