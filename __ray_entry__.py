@@ -66,7 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the ROTATION slots: round 5 rotates in nine rows-only queries that
     # had never received a driver row (minhash/simhash/substring doc-dedup
     # family, fingerprints, HLL sketch, audio/video legs — the VERDICT r4
-    # directive #1 set), [51-65] rows-only queries already driver-checked
+    # directive #1 set), [51] record_linkage (SQL-oracled, past the cut
+    # only to preserve the rotation), [52-66] rows-only queries already
+    # driver-checked
     # in round 4 (flagship image family, incremental) or whose hash-green
     # siblings share all machinery (the approximate ANN variants next to
     # the SQL-green exact ANN queries) — weakest marginal information if
@@ -150,7 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_clusters": incremental.incremental_dedup_clusters,
         # ---- ANN approximate family: every kernel shared with the
         # hash-green exact siblings (embedding_near_dup_pairs_exact,
-        # ann_cosine_topk) — strongest indirect verification of the 65 ----
+        # ann_cosine_topk) — strongest indirect verification of the 66 ----
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
         "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
