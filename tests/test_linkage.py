@@ -61,6 +61,27 @@ def test_levenshtein_kernel_character_level_unicode():
     assert got[0, 0] == 1 and got[1, 1] == 1
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.text(max_size=10), min_size=1, max_size=5),
+        st.lists(st.text(max_size=10), min_size=1, max_size=5),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_levenshtein_kernel_property(left, right):
+        """Random unicode strings (incl. empty, astral, combining chars):
+        the vectorized kernel must agree with the textbook DP cell-for-cell."""
+        got = levenshtein_matrix(left, right)
+        for i, a in enumerate(left):
+            for j, b in enumerate(right):
+                assert got[i, j] == _lev_ref(a, b), (a, b)
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_levenshtein_kernel_empty_sides():
     assert levenshtein_matrix([], ["a"]).shape == (0, 1)
     assert levenshtein_matrix(["a"], []).shape == (1, 0)
