@@ -66,9 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the ROTATION slots: round 5 rotates in nine rows-only queries that
     # had never received a driver row (minhash/simhash/substring doc-dedup
     # family, fingerprints, HLL sketch, audio/video legs — the VERDICT r4
-    # directive #1 set), [51] record_linkage (SQL-oracled, past the cut
-    # only to preserve the rotation), [52-66] rows-only queries already
-    # driver-checked
+    # directive #1 set), [51-52] record_linkage + tfidf_top_terms
+    # (SQL-oracled, past the cut only to preserve the rotation),
+    # [53-67] rows-only queries already driver-checked
     # in round 4 (flagship image family, incremental) or whose hash-green
     # siblings share all machinery (the approximate ANN variants next to
     # the SQL-green exact ANN queries) — weakest marginal information if
@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compare at two sf dirs — it sits past the cut only so the nine
         # first-time rotation rows above keep their slots ------------------
         "record_linkage": linkage.record_linkage,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
         # ---- past the budget cut: driver-checked in round 4 (the
         # image+caption flagship family + incremental — rows-only: matcher
         # semantics aren't SQL-expressible, values pinned by the
@@ -152,7 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_clusters": incremental.incremental_dedup_clusters,
         # ---- ANN approximate family: every kernel shared with the
         # hash-green exact siblings (embedding_near_dup_pairs_exact,
-        # ann_cosine_topk) — strongest indirect verification of the 66 ----
+        # ann_cosine_topk) — strongest indirect verification of the 67 ----
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
         "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
@@ -679,6 +680,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 'unknown' FROM docs WHERE LENGTH(t) < 6
             )
             SELECT lang_guess, COUNT(*) AS n_docs FROM lab GROUP BY lang_guess
+        """,
+        # tfidf_top_terms: per-doc top-k distinctive terms. The score is
+        # tf * n_docs // df (BIGINT floor division, no float log) so both
+        # engines agree bit-for-bit; ties break on the word, where UTF-8
+        # byte order (DuckDB binary collation) equals code-point order
+        # (numpy), making the top-k cut identical.
+        "tfidf_top_terms": """
+            WITH w AS (SELECT doc_id,
+                              UNNEST(STRING_SPLIT(COALESCE(text, ''), ' '))
+                                AS word
+                       FROM documents),
+            tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM w GROUP BY 1, 2),
+            df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+            s AS (SELECT doc_id, tf.word, tf, df,
+                         tf * n_docs // df AS score,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tf * n_docs // df DESC, tf.word ASC)
+                           AS rn
+                  FROM tf JOIN df USING (word) CROSS JOIN n)
+            SELECT doc_id, word, tf, df, CAST(score AS BIGINT) AS score
+            FROM s WHERE rn <= 5
         """,
         # record_linkage (T6 RecordLink analog): the right side is derived
         # from customer inside the query (the embedding_near_dup planting

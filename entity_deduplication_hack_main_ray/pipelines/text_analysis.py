@@ -433,3 +433,106 @@ def stratified_sample(
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "lang", "bucket"]
     ]
+
+
+def _df_partial(t: pa.Table) -> pa.Table:
+    """Per-batch document-frequency combiner: distinct (word, doc) runs →
+    docs-per-word within the batch. Exact after the global word sum (a doc
+    is one row, so it never straddles batches)."""
+    parent, codes, _nw, uniq = _word_splits(t)
+    firsts, _counts = _run_counts(parent, codes)
+    df = np.bincount(codes[firsts], minlength=len(uniq)) if len(firsts) \
+        else np.zeros(len(uniq), np.int64)
+    return pa.table(
+        {
+            "word": pa.array(np.asarray(uniq, dtype=object), pa.string()),
+            "df_partial": pa.array(df.astype(np.int64)),
+        }
+    )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-document top-k terms by an integer TF-IDF score — the relevance
+    leg of the curation toolchain (which terms make a document distinctive
+    across the corpus).
+
+    ``score = tf * n_docs // df`` — monotone in tf·idf with NO float log,
+    so engine and DuckDB agree bit-for-bit (integer division of BIGINTs;
+    word order ties break on the raw word, where UTF-8 byte order equals
+    code-point order, so numpy/pandas and DuckDB binary collation sort
+    identically).
+
+    Plan: scan 1 streams per-batch df combiners into ONE ``groupby(word)``
+    sum (the only exchange — O(batches × vocab) partial rows); the exact
+    df table is broadcast once via ``ray.put`` (test-scale vocab is small;
+    at 10^8-word vocab swap the broadcast for a co-partitioned join on
+    ``hash(word) % P`` plus a second doc-keyed exchange for the top-k);
+    scan 2 recomputes per-doc tf per batch (cheaper than shuffling tf
+    rows) and takes the per-doc top-k inline — zero doc-keyed exchange.
+    """
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # metadata-only: parquet row counts, no scan
+    df_pd = (
+        docs.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df_partial", alias_name="df"))
+        .to_pandas()
+    )
+    if df_pd.empty or not len(df_pd.columns):  # ensure_cols would collide
+        from ..functions.frames import typed_empty  # with its df param
+
+        df_pd = typed_empty(word="object", df="int64")
+    vocab = df_pd["word"].to_numpy(dtype=object)
+    order = np.argsort(vocab, kind="stable")
+    ref = ray.put(
+        (vocab[order], df_pd["df"].to_numpy().astype(np.int64)[order])
+    )
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        vocab_sorted, df_sorted = ray.get(ref)
+        parent, codes, _nw, uniq = _word_splits(t)
+        firsts, tf = _run_counts(parent, codes)
+        d_idx = parent[firsts] if len(firsts) else firsts
+        words = np.asarray(uniq, dtype=object)[codes[firsts]] \
+            if len(firsts) else np.empty(0, object)
+        pos = np.searchsorted(vocab_sorted, words).astype(np.int64)
+        df = df_sorted[pos] if len(pos) else pos
+        score = tf * np.int64(n_docs) // np.maximum(df, 1)
+        # per-doc top-k: lexsort by (doc, -score, word-rank); ``pos`` is the
+        # word's rank in the sorted global vocabulary, an integer total
+        # order identical to binary word order — then keep each run's
+        # first k rows
+        o = np.lexsort((pos, -score, d_idx))
+        d_s = d_idx[o]
+        if len(d_s):
+            new = np.concatenate([[True], d_s[1:] != d_s[:-1]])
+            run_start = np.maximum.accumulate(
+                np.where(new, np.arange(len(d_s)), 0)
+            )
+            keep = o[np.arange(len(d_s)) - run_start < k]
+        else:
+            keep = o
+        doc_ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[d_idx[keep]]),
+                "word": pa.array(words[keep], pa.string()),
+                "tf": pa.array(tf[keep]),
+                "df": pa.array(df[keep] if len(keep) else
+                               np.empty(0, np.int64)),
+                "score": pa.array(score[keep]),
+            }
+        )
+
+    out = (
+        docs.map_batches(score_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty or not len(out.columns):
+        from ..functions.frames import typed_empty
+
+        out = typed_empty(
+            doc_id="int64", word="object", tf="int64", df="int64",
+            score="int64",
+        )
+    return out.sort_values(["doc_id", "word"]).reset_index(drop=True)
