@@ -66,9 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the ROTATION slots: round 5 rotates in nine rows-only queries that
     # had never received a driver row (minhash/simhash/substring doc-dedup
     # family, fingerprints, HLL sketch, audio/video legs — the VERDICT r4
-    # directive #1 set), [51-52] record_linkage + tfidf_top_terms
-    # (SQL-oracled, past the cut only to preserve the rotation),
-    # [53-67] rows-only queries already driver-checked
+    # directive #1 set), [51-53] record_linkage + tfidf_top_terms
+    # + chunk_documents (SQL-oracled, past the cut only to preserve the rotation),
+    # [54-68] rows-only queries already driver-checked
     # in round 4 (flagship image family, incremental) or whose hash-green
     # siblings share all machinery (the approximate ANN variants next to
     # the SQL-green exact ANN queries) — weakest marginal information if
@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-time rotation rows above keep their slots ------------------
         "record_linkage": linkage.record_linkage,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "chunk_documents": text_analysis.chunk_documents,
         # ---- past the budget cut: driver-checked in round 4 (the
         # image+caption flagship family + incremental — rows-only: matcher
         # semantics aren't SQL-expressible, values pinned by the
@@ -153,7 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_clusters": incremental.incremental_dedup_clusters,
         # ---- ANN approximate family: every kernel shared with the
         # hash-green exact siblings (embedding_near_dup_pairs_exact,
-        # ann_cosine_topk) — strongest indirect verification of the 67 ----
+        # ann_cosine_topk) — strongest indirect verification of the 68 ----
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
         "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
@@ -704,6 +705,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf JOIN df USING (word) CROSS JOIN n)
             SELECT doc_id, word, tf, df, CAST(score AS BIGINT) AS score
             FROM s WHERE rn <= 5
+        """,
+        # chunk_documents: sliding-window passage chunking (64-word chunks,
+        # stride 48) on the corpus-wide single-space word contract; chunk
+        # text and word counts are pure string/array functions of the
+        # split, so the oracle is exact.
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id,
+                              STRING_SPLIT(COALESCE(text, ''), ' ') AS ws
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         UNNEST(GENERATE_SERIES(0, (LEN(ws) - 1) // 48))
+                           AS chunk_idx,
+                         ws
+                  FROM t)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(LEAST(chunk_idx * 48 + 64, LEN(ws))
+                        - chunk_idx * 48 AS BIGINT) AS n_words_chunk,
+                   ARRAY_TO_STRING(ws[chunk_idx * 48 + 1 :
+                                      LEAST(chunk_idx * 48 + 64, LEN(ws))],
+                                   ' ') AS chunk_text
+            FROM c
         """,
         # record_linkage (T6 RecordLink analog): the right side is derived
         # from customer inside the query (the embedding_near_dup planting

@@ -536,3 +536,74 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> pd.DataFrame:
             score="int64",
         )
     return out.sort_values(["doc_id", "word"]).reset_index(drop=True)
+
+
+CHUNK_WORDS = 64   # words per training chunk
+CHUNK_STRIDE = 48  # chunk start stride (overlap = CHUNK_WORDS - STRIDE)
+
+
+def _chunk_batch(t: pa.Table, size: int, stride: int) -> pa.Table:
+    """Sliding-window passage chunks for one batch, fully vectorized:
+    chunk word-index ranges are built with one repeat/arange pass, the
+    chunk word lists come from a single Arrow take, and the chunk text
+    from ONE ``pc.binary_join`` — no per-chunk Python."""
+    wl = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+    if isinstance(wl, pa.ChunkedArray):
+        wl = wl.combine_chunks()
+    nw = pc.list_value_length(wl).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_off = np.concatenate([[0], np.cumsum(nw)])  # word offsets per doc
+    n_chunks = np.where(nw > 0, (nw - 1) // stride + 1, 0)
+    doc_of_chunk = np.repeat(np.arange(len(nw)), n_chunks)
+    # chunk_idx within its doc: global arange minus each doc's first slot
+    first_slot = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    chunk_idx = np.arange(len(doc_of_chunk)) - first_slot[doc_of_chunk]
+    start = chunk_idx * stride
+    length = np.minimum(start + size, nw[doc_of_chunk]) - start
+    # flat word indices: for each chunk an arange(start, start+length)
+    # shifted by its doc's word offset
+    flat_off = np.concatenate([[0], np.cumsum(length)])
+    total = int(flat_off[-1])
+    idx = np.arange(total) - np.repeat(flat_off[:-1], length) + np.repeat(
+        start + doc_off[doc_of_chunk], length
+    )
+    flat_words = wl.flatten()
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(flat_off, pa.int32()),
+        flat_words.take(pa.array(idx, pa.int64())),
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].take(pa.array(doc_of_chunk, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
+            "n_words_chunk": pa.array(length.astype(np.int64)),
+            "chunk_text": pc.binary_join(chunk_lists, " "),
+        }
+    )
+
+
+def chunk_documents(
+    sf_dir: str, size: int = CHUNK_WORDS, stride: int = CHUNK_STRIDE
+) -> pd.DataFrame:
+    """Sliding-window passage chunking — the training-data prep stage that
+    turns documents into overlapping fixed-budget chunks (``size`` words
+    per chunk, starts every ``stride`` words; the word boundary is the
+    corpus-wide single-space contract shared with the DuckDB oracle).
+
+    Embarrassingly parallel: ONE task-pool ``map_batches``, no exchange;
+    output is chunk rows (doc_id, chunk_idx, n_words_chunk, chunk_text).
+    At 100 TB this is the stage that feeds the tokenizer — each batch's
+    chunks stay inside the task, and downstream stages consume the chunk
+    Dataset without ever materializing a document twice.
+    """
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: _chunk_batch(t, size, stride), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    out = ensure_cols(
+        out, doc_id="int64", chunk_idx="int64", n_words_chunk="int64",
+        chunk_text="object",
+    )
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)

@@ -64,6 +64,8 @@ CASES = [
     ("video_frame_stats", ["media_id", "frame_idx", "mean_e6"]),
     ("record_linkage", ["r_id", "l_id", "score_e6"]),
     ("tfidf_top_terms", ["doc_id", "word", "tf", "df", "score"]),
+    ("chunk_documents", ["doc_id", "chunk_idx", "n_words_chunk",
+                         "chunk_text"]),
 ]
 # (customer_region_rollup is absent from CASES because SQL ROLLUP yields
 # ONE grand-total row even on empty input — pinned by its own test below.)

@@ -76,3 +76,52 @@ def test_tfidf_matches_oracle_sf001(ray_session):
         .reset_index(drop=True)[a.columns]
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---- chunk_documents (sliding-window passage chunking) ---------------------
+
+from entity_deduplication_hack_main_ray.pipelines.text_analysis import (  # noqa: E402
+    chunk_documents,
+)
+
+
+def test_chunk_documents_crafted(ray_session, tmp_path):
+    d = str(tmp_path)
+    words = [f"w{i}" for i in range(150)]  # 150 words → chunks at 0/48/96/144
+    pq.write_table(
+        pa.table({"doc_id": [0, 1], "text": [" ".join(words), "solo"],
+                  "lang": ["en", "en"], "source": ["s", "s"]}),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = chunk_documents(d)
+    d0 = out[out["doc_id"] == 0].reset_index(drop=True)
+    assert list(d0["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(d0["n_words_chunk"]) == [64, 64, 54, 6]
+    assert d0.loc[0, "chunk_text"].split(" ") == words[0:64]
+    assert d0.loc[1, "chunk_text"].split(" ") == words[48:112]
+    assert d0.loc[3, "chunk_text"].split(" ") == words[144:150]
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) == 1 and d1.iloc[0]["chunk_text"] == "solo"
+    # overlap contract: consecutive chunks share size - stride words
+    assert d0.loc[0, "chunk_text"].split(" ")[48:] == \
+        d0.loc[1, "chunk_text"].split(" ")[:16]
+
+
+def test_chunk_documents_matches_oracle(ray_session):
+    sf = "/root/testdata/sf0.001"
+    got = chunk_documents(sf)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(entrymod.oracle_sql()["chunk_documents"]).fetchdf()
+    con.close()
+    a = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    b = (
+        want.astype({"doc_id": "int64", "chunk_idx": "int64",
+                     "n_words_chunk": "int64"})
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)[a.columns]
+    )
+    pd.testing.assert_frame_equal(a, b)
