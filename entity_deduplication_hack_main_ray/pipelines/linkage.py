@@ -301,7 +301,8 @@ def record_linkage(
     winners per right (byte-equal to the unsalted plan — pytest). At
     10^12 rows pick ``left_salt`` so |L_block|/salt × chunk fits a worker
     and blocks × salt ≥ cluster slots; right replication costs
-    salt × |R| rows, which the per-right top-1 keeps that shuffle-light.
+    salt × |R| rows through the blocking shuffle, and the per-block
+    pre-reduce keeps the merge exchange at ≤ salt rows per right.
     """
     ds = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",
