@@ -61,18 +61,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the round driver sweeps this dict IN ORDER and is
-    # budget-bounded (50 CORRECTNESS rows per round). Layout: [1-41] every
-    # oracle-backed query (hash-checked — always inside the cut), [42-50]
-    # the ROTATION slots: round 5 rotates in nine rows-only queries that
-    # had never received a driver row (minhash/simhash/substring doc-dedup
-    # family, fingerprints, HLL sketch, audio/video legs — the VERDICT r4
-    # directive #1 set), [51-53] record_linkage + tfidf_top_terms
-    # + chunk_documents (SQL-oracled, past the cut only to preserve the rotation),
-    # [54-68] rows-only queries already driver-checked
-    # in round 4 (flagship image family, incremental) or whose hash-green
-    # siblings share all machinery (the approximate ANN variants next to
-    # the SQL-green exact ANN queries) — weakest marginal information if
-    # the budget cuts them off.
+    # budget-bounded (50 CORRECTNESS rows per round). Layout: [1-44] every
+    # oracle-backed query (hash-checked — all 44 inside the cut; a
+    # first-time HASH row is the strongest signal, so record_linkage /
+    # tfidf_top_terms / chunk_documents, SQL-oracled but never
+    # driver-checked, moved inside), [45-50] the ROTATION slots: six
+    # rows-only queries that had never received a driver row, chosen for
+    # maximum marginal information (minhash + simhash end-to-end dedup,
+    # fingerprints, HLL sketch, audio/video legs — VERDICT r4 directive
+    # #1), [51-68] rows-only queries already driver-checked in round 4
+    # (flagship image family, incremental) or whose hash-green siblings
+    # share all machinery (simhash_docs/simhash_near_pairs are
+    # intermediates of the in-cut simhash_dedup chain;
+    # substring_dedup_docs is union-find over the hash-green
+    # substring_dup_pairs; the approximate ANN variants sit next to the
+    # SQL-green exact ANN queries) — weakest marginal information if the
+    # budget cuts them off.
     return {
         # ---- flagship-adjacent, SQL-verified (judge's round-4 priority) ---
         "embedding_near_dup_pairs_exact": ann.embedding_near_dup_pairs_exact,
@@ -120,25 +124,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": text_dedup.decontaminate_docs,
         # ---- similarity search over embeddings (SQL-verified members) -----
         "ann_cosine_topk": ann.brute_force_cosine_topk,
-        # ---- round-5 rotation slots [42-50]: rows-only queries with no
+        # ---- SQL-oracled, first driver row this round [42-44] --------------
+        "record_linkage": linkage.record_linkage,
+        "tfidf_top_terms": text_analysis.tfidf_top_terms,
+        "chunk_documents": text_analysis.chunk_documents,
+        # ---- round-5 rotation slots [45-50]: rows-only queries with no
         # prior driver CORRECTNESS row (each value-pinned in pytest; the
         # families with no hash-green sibling go first) ----------------------
         "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,
-        "simhash_docs": text_dedup.simhash_signatures_table,
         "simhash_dedup_docs": text_dedup.simhash_dedup,
-        "simhash_near_pairs": text_dedup.simhash_near_pairs,
-        "substring_dedup_docs": text_dedup.substring_dedup_docs,
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "approx_user_counts": relational.approx_user_counts,
         "audio_frame_features": audio.audio_frame_features,
         "video_frame_stats": multimodal.video_frame_stats,
-        # ---- past the budget cut [51+]: record_linkage (T6 analog) has a
-        # full DuckDB oracle below AND a pytest that runs the exact driver
-        # compare at two sf dirs — it sits past the cut only so the nine
-        # first-time rotation rows above keep their slots ------------------
-        "record_linkage": linkage.record_linkage,
-        "tfidf_top_terms": text_analysis.tfidf_top_terms,
-        "chunk_documents": text_analysis.chunk_documents,
+        # ---- past the budget cut [51+]: intermediates of in-cut chains
+        # (simhash_dedup_docs runs sign→pairs→cluster end-to-end, so its
+        # two intermediates add the least marginal information;
+        # substring_dedup_docs is union-find over the hash-green
+        # substring_dup_pairs rows) -----------------------------------------
+        "simhash_docs": text_dedup.simhash_signatures_table,
+        "simhash_near_pairs": text_dedup.simhash_near_pairs,
+        "substring_dedup_docs": text_dedup.substring_dedup_docs,
         # ---- past the budget cut: driver-checked in round 4 (the
         # image+caption flagship family + incremental — rows-only: matcher
         # semantics aren't SQL-expressible, values pinned by the
@@ -165,6 +171,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from entity_deduplication_hack_main_ray.functions.text import BPE_TOKEN_RE
+
+    # one shared RE2 pattern, two engines (Arrow count_substring_regex /
+    # DuckDB REGEXP_EXTRACT_ALL — both RE2): SQL-quote the apostrophes
+    bpe_sql = BPE_TOKEN_RE.replace("'", "''")
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -338,11 +349,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM events) w) s
             WHERE new_session = 1 GROUP BY user_id
         """,
-        "doc_stats": """
+        "doc_stats": f"""
             SELECT doc_id,
                    LENGTH(text) AS n_chars,
                    LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
-                                   x -> x <> '')) AS n_tokens
+                                   x -> x <> '')) AS n_tokens,
+                   LEN(REGEXP_EXTRACT_ALL(text, '{bpe_sql}')) AS n_tokens_bpe
             FROM documents
         """,
         "doc_quality": """
