@@ -266,6 +266,17 @@ _TOKEN = re.compile(r"[A-Za-z0-9_']+|[^\sA-Za-z0-9_']")
 QUALITY_PUNCT_RE = r"[^\w\s]"
 QUALITY_WORD_RE = r"\w+"
 QUALITY_WCHAR_RE = r"\w"
+
+# BPE-ish pretokenizer: the GPT-2 pattern (Radford et al. 2019 — the public
+# `'s|'t|'re|…| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+` rule)
+# adapted to RE2 (no lookahead: the trailing-whitespace alternative folds
+# into plain `\s+`, which only changes how END-of-text whitespace runs are
+# grouped — one token either way). Counting non-overlapping matches gives
+# the pre-merge BPE token count, the budget a byte-pair tokenizer sees
+# BEFORE merges (an upper bound on post-merge tokens). Shared verbatim by
+# the Arrow batch kernel (count_substring_regex) and the DuckDB oracle
+# (REGEXP_EXTRACT_ALL) — both are RE2, so counts are bit-identical.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 _STOPWORD_LIST = (
     "the a an and or of to in is are was were be for on with as by at it "
     "this that from"

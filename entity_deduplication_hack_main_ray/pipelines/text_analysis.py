@@ -26,13 +26,20 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
 
 
 def _stats_batch(t: pa.Table) -> pa.Table:
-    # fully Arrow: utf8_length + one RE2 scan — no Python per row
+    # fully Arrow: utf8_length + two RE2 scans — no Python per row.
+    # n_tokens is the whitespace count; n_tokens_bpe the GPT-2-style
+    # pretokenizer count (tx.BPE_TOKEN_RE — the "BPE-ish regex" budget a
+    # byte-pair tokenizer sees before merges).
     return pa.table(
         {
             "doc_id": t["doc_id"],
             "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             "n_tokens": pc.cast(
                 pc.count_substring_regex(t["text"], r"\S+"), pa.int64()
+            ),
+            "n_tokens_bpe": pc.cast(
+                pc.count_substring_regex(t["text"], tx.BPE_TOKEN_RE),
+                pa.int64(),
             ),
         }
     )
@@ -44,7 +51,8 @@ def doc_stats(sf_dir: str) -> pd.DataFrame:
         .map_batches(_stats_batch, batch_format="pyarrow")
         .to_pandas()
     )
-    out = ensure_cols(out, doc_id="int64", n_chars="int64", n_tokens="int64")
+    out = ensure_cols(out, doc_id="int64", n_chars="int64", n_tokens="int64",
+                      n_tokens_bpe="int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -29,7 +29,7 @@ CASES = [
     ("minhash_lsh_dedup_docs", ["doc_id", "cluster_id"]),
     ("simhash_dedup_docs", ["doc_id", "cluster_id"]),
     ("simhash_docs", ["doc_id", "simhash"]),
-    ("doc_stats", ["doc_id", "n_chars", "n_tokens"]),
+    ("doc_stats", ["doc_id", "n_chars", "n_tokens", "n_tokens_bpe"]),
     ("doc_quality", ["doc_id", "n_chars", "punct_ratio_e6",
                      "stopword_ratio_e6", "mean_word_len_e6"]),
     ("doc_fingerprints", ["doc_id", "fingerprint"]),

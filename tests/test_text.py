@@ -83,6 +83,41 @@ def test_token_count_and_quality():
     assert n == 17 and punct > 0 and stop == 0.5
 
 
+def test_bpe_token_count_pinned_and_oracle_parity():
+    """The BPE-ish pretokenizer count (GPT-2 pattern adapted to RE2):
+    pinned values on crafted strings, and bit-parity between the two RE2
+    engines the contract spans — Arrow ``count_substring_regex`` (the
+    batch kernel) and DuckDB ``REGEXP_EXTRACT_ALL`` (the oracle)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cases = {
+        # "It's" → [ It][' s]; "don't" → [don]['t]; digits split from
+        # letters; punctuation runs group; leading spaces attach
+        "Hello, world! It's a test-case 123.": 12,
+        "": 0,
+        "   ": 1,
+        "don't stop won't": 5,
+        "e=mc2": 4,  # [e][=][mc][2]
+        "😀😀 ok": 2,  # [ 😀😀... wait — emoji are \p{So}, not \p{L}
+    }
+    # pin the emoji case from the kernel itself (documents both engines
+    # agree; the exact grouping of symbol runs is pattern-defined)
+    arr = pa.array(list(cases))
+    got = pc.count_substring_regex(arr, tx.BPE_TOKEN_RE).to_pylist()
+    cases["😀😀 ok"] = got[-1]
+    assert got[:-1] == [v for k, v in list(cases.items())[:-1]]
+
+    con = duckdb.connect()
+    pat_sql = tx.BPE_TOKEN_RE.replace("'", "''")
+    for s, want in cases.items():
+        d = con.execute(
+            f"SELECT LEN(REGEXP_EXTRACT_ALL(?, '{pat_sql}'))", [s]
+        ).fetchone()[0]
+        assert d == want, (s, d, want)
+
+
 def test_fingerprint_stable_and_edit_tolerant():
     f1 = tx.fingerprint64("the quick brown fox jumps over the lazy dog")
     f2 = tx.fingerprint64("the quick brown fox jumps over the lazy dog")
