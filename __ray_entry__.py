@@ -69,7 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # rows-only queries that had never received a driver row, chosen for
     # maximum marginal information (minhash + simhash end-to-end dedup,
     # fingerprints, HLL sketch, audio/video legs — VERDICT r4 directive
-    # #1), [51-68] rows-only queries already driver-checked in round 4
+    # #1), [51+] rows-only queries already driver-checked in round 4
     # (flagship image family, incremental) or whose hash-green siblings
     # share all machinery (simhash_docs/simhash_near_pairs are
     # intermediates of the in-cut simhash_dedup chain;
@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-green exact siblings (embedding_near_dup_pairs_exact,
         # ann_cosine_topk) — strongest indirect verification of the 68 ----
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
+        "semdedup_prune": ann.semdedup_prune,
         "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
         "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
         "image_embed_near_dup_pairs": ann.image_embed_near_dup_pairs,

@@ -6,7 +6,12 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
 
     {"metric": "e2e_sec", "value": N, "unit": "sec",
      "queries": {...per-query sec...}, "sf": 0.1, "num_cpus": 32,
-     "images_per_sec": R}
+     "images_per_sec": R, "busy_cpu_at_start": F}
+
+A bounded idle gate (≤180 s wait for host busy-CPU < 0.20, reported as
+``busy_cpu_at_start``; disable with GRAFT_BENCH_IDLE_GATE=0) runs before
+the timed section: this multi-tenant host has a documented ±2x wall-clock
+band, and the gate only ever delays the run — it never changes what runs.
 
 ``--scaling`` mode: run the headline image-dedup pipeline twice in FRESH
 subprocesses at two parallelism levels (default N=2 vs 4N=8 CPUs — the
@@ -79,8 +84,22 @@ def run_bench(num_cpus: int) -> dict:
         with open(os.path.join(corpus_dir, f), "rb") as fh:
             fh.read()
 
+    # bounded idle gate (default on): this host is multi-tenant with a
+    # documented ±2x wall-clock band; waiting (≤180 s) for an idle window
+    # only DELAYS the timed section — it never changes what runs — so the
+    # single-run methodology stays comparable round-over-round while the
+    # reading reflects the engine, not a tenancy burst. Disable with
+    # GRAFT_BENCH_IDLE_GATE=0; the release-time busy fraction is reported.
+    gate = os.environ.get("GRAFT_BENCH_IDLE_GATE", "0.20")
+    load_at_start = (
+        _wait_for_idle_host(float(gate), max_wait_s=180)
+        if float(gate) > 0
+        else -1.0
+    )
+
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
+    stat0 = _cpu_stat_snapshot()
 
     # untimed warmup on a tiny corpus: spawns the worker pool, imports the
     # package in every worker, faults numpy scratch pages — so the timed
@@ -123,7 +142,25 @@ def run_bench(num_cpus: int) -> dict:
         "corpus_rows": n_rows,
         "n_clusters": n_clusters,
         "images_per_sec": round(n_rows / t_dedup, 1),
+        "busy_cpu_at_start": load_at_start,
+        # hypervisor steal during the timed section: the fraction of this
+        # VM's cpu-time taken by EXTERNAL tenants (we are the only user
+        # inside the VM, so steal is pure external contention — the ±2-3x
+        # wall-clock band's measured cause)
+        "steal_frac": _steal_fraction(stat0, _cpu_stat_snapshot()),
     }
+
+
+def _cpu_stat_snapshot() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat."""
+    with open("/proc/stat") as f:
+        parts = [int(x) for x in f.readline().split()[1:]]
+    return sum(parts), parts[7] if len(parts) > 7 else 0
+
+
+def _steal_fraction(s0: tuple[int, int], s1: tuple[int, int]) -> float:
+    dt = s1[0] - s0[0]
+    return round((s1[1] - s0[1]) / dt, 4) if dt else 0.0
 
 
 def _cpu_busy_fraction(sample_s: float = 3.0) -> float:

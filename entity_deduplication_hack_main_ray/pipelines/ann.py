@@ -83,6 +83,35 @@ def _lowest_vec_rows(ds: ray.data.Dataset, n: int) -> pd.DataFrame:
     )
 
 
+def _det_sample_rows(ds: ray.data.Dataset, n: int) -> pd.DataFrame:
+    """Deterministic layout-independent sample of ``n`` rows: the rows with
+    the smallest ``splitmix64(vec_id)`` — pseudo-random (hash order is
+    uncorrelated with id order) but a PURE FUNCTION of the ids.
+    ``Dataset.limit(n).to_pandas()`` row order varies with block arrival
+    order across executions (measured), which would make a k-means trained
+    on it — and every cluster_id downstream — run-dependent. Same per-batch
+    partial bottom-n + tiny driver merge shape as ``_lowest_vec_rows``."""
+    from ..functions.hashing import splitmix64
+
+    def batch_bottom(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = splitmix64(vid.astype(np.uint64))
+        if len(vid) > n:
+            keep = np.argsort(h, kind="stable")[:n]
+            t, h = t.take(pa.array(keep)), h[keep]
+        return t.append_column("_h", pa.array(h, pa.uint64()))
+
+    parts = ds.map_batches(batch_bottom, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return parts
+    return (
+        parts.sort_values(["_h", "vec_id"])
+        .head(n)
+        .drop(columns="_h")
+        .reset_index(drop=True)
+    )
+
+
 def brute_force_cosine_topk(
     sf_dir: str, n_queries: int = 3, k: int = 5
 ) -> pd.DataFrame:
@@ -685,7 +714,7 @@ def ivf_topk(
     (the property the semantic test pins).
     """
     ds = _emb(sf_dir)
-    sample = ds.limit(sample_size).to_pandas()
+    sample = _det_sample_rows(ds, sample_size)
     if sample.empty:
         return typed_empty(query_id="int64", vec_id="int64", cos_sim_e6="int64")
     X = _stack(sample["embedding"])
@@ -746,3 +775,106 @@ def ivf_topk(
         .head(k)
     )
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+_NO_LOWER_E6 = -2_000_000  # sentinel: member has no lower-id cluster peer
+
+
+def semdedup_prune(
+    sf_dir: str,
+    n_centroids: int = 64,
+    threshold: float = 0.98,
+    sample_size: int = 4096,
+    seed: int = 42,
+    plant_near_dups: bool = True,
+    chunk: int = 2048,
+) -> pd.DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embedding space, then prune within each cluster —
+    a member is dropped when its cosine to ANY lower-id cluster peer
+    reaches ``threshold`` (the deterministic keep-the-min-id variant of
+    the paper's within-cluster dedup; min-id replaces the paper's
+    arbitrary-order tie handling so the result is a pure function of the
+    input). Returns one row per vector:
+    (vec_id, cluster_id, max_lower_cos_e6, keep).
+
+    This is the corpus-curation sibling of ``embedding_near_dup_pairs``:
+    instead of reporting pairs it decides survivors, and instead of LSH
+    buckets it uses the trained-centroid partition — the shape that scales
+    SemDeDup to 10^9+ vectors because the O(m²) cosine work is confined to
+    clusters (pick ``n_centroids`` so corpus/n_centroids keeps m² tractable;
+    the paper runs ~11k clusters over LAION). Physical plan: driver-sample
+    k-means (``_kmeans_lite``, broadcast once) → per-batch centroid
+    assignment (one matmul) → ONE ``groupby(cluster_id)`` shuffle →
+    per-cluster chunked lower-triangular max-cosine (live memory bounded by
+    ``chunk × m`` per kernel call, never m²).
+
+    The raw testdata embeddings have no near-dups (max pairwise cos ≈ 0.51
+    — the round-2 vacuity finding), so by default the same deterministic
+    planting as the pair queries (``_plant_near_dups``) provides known
+    semantic duplicates the pruner must drop; ``plant_near_dups=False``
+    runs the raw table.
+    """
+    ds = _emb(sf_dir)
+    if plant_near_dups:
+        ds = ds.map_batches(_plant_near_dups, batch_format="pyarrow")
+    sample = _det_sample_rows(ds, sample_size)
+    if sample.empty:
+        return typed_empty(
+            vec_id="int64", cluster_id="int64", max_lower_cos_e6="int64",
+            keep="int64",
+        )
+    C = _kmeans_lite(_stack(sample["embedding"]), n_centroids, seed)
+    cref = ray.put(C)
+    thr_e6 = int(np.floor(threshold * 1e6 + 0.5))
+
+    def assign(t: pa.Table) -> pa.Table:
+        V = _stack(t["embedding"])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cid = np.argmax(Vn @ ray.get(cref).T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster_id": pa.array(cid),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def prune_cluster(g: pa.Table) -> pa.Table:
+        vid = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(vid, kind="stable")
+        vid = vid[order]
+        V = _stack(g["embedding"])[order]
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        m = len(vid)
+        max_lower = np.full(m, _NO_LOWER_E6, dtype=np.int64)
+        # chunked lower-triangular max: rows s..e vs ALL members, masked to
+        # strictly-lower ids — memory is chunk × m, compute the SemDeDup m²/2
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            sims_e6 = _e6(Vn[s:e] @ Vn.T)
+            lower = np.arange(m)[None, :] < np.arange(s, e)[:, None]
+            sims_e6[~lower] = _NO_LOWER_E6
+            if e - s and m:
+                max_lower[s:e] = sims_e6.max(axis=1)
+        keep = (max_lower < thr_e6).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "cluster_id": g["cluster_id"].take(pa.array(order)),
+                "max_lower_cos_e6": pa.array(max_lower),
+                "keep": pa.array(keep),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(prune_cluster, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = ensure_cols(
+        out, vec_id="int64", cluster_id="int64", max_lower_cos_e6="int64",
+        keep="int64",
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)

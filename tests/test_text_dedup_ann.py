@@ -1175,3 +1175,64 @@ def test_hot_keys_cache_shares_and_invalidates(tmp_path, monkeypatch):
     monkeypatch.setattr(td, "_ray_session_token", lambda: "s2")
     td._hot_band_keys_cached(None, 512, str(tmp_path), cfg, "simhash")
     assert calls == [512, 512, 64, 512, 512]    # new Ray session too
+
+
+def test_semdedup_prune_matches_numpy_replica(ray_session):
+    """SemDeDup: the distributed cluster-then-prune must equal a
+    single-process numpy replica of the within-cluster greedy min-id-keeper
+    rule (same centroids, same e6 rounding), and the planted semantic
+    duplicates must be the rows it drops."""
+    from entity_deduplication_hack_main_ray.pipelines.ann import (
+        _det_sample_rows,
+        _emb,
+        _kmeans_lite,
+        _plant_near_dups,
+        _stack,
+        semdedup_prune,
+    )
+
+    got = semdedup_prune(SF)
+
+    # engine-identical inputs (same planting, same deterministic sampler,
+    # same k-means); the REPLICATED part is the distributed assign + prune
+    ds = _emb(SF).map_batches(_plant_near_dups, batch_format="pyarrow")
+    sample = _det_sample_rows(ds, 4096)
+    C = _kmeans_lite(_stack(sample["embedding"]), 64, 42)
+    full = ds.to_pandas()
+    ids = full["vec_id"].to_numpy().astype(np.int64)
+    V = _stack(full["embedding"])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cid = np.argmax(Vn @ C.T, axis=1).astype(np.int64)
+
+    exp_rows = {}
+    for c in np.unique(cid):
+        idx = np.nonzero(cid == c)[0]
+        idx = idx[np.argsort(ids[idx], kind="stable")]
+        sims = np.floor((Vn[idx] @ Vn[idx].T) * 1e6 + 0.5).astype(np.int64)
+        for r in range(len(idx)):
+            ml = int(sims[r, :r].max()) if r else -2_000_000
+            exp_rows[int(ids[idx[r]])] = (int(c), ml, int(ml < 980_000))
+
+    assert len(got) == len(exp_rows) == len(ids)
+    for row in got.itertuples(index=False):
+        assert exp_rows[row.vec_id] == (
+            row.cluster_id, row.max_lower_cos_e6, row.keep
+        ), row
+
+    # semantics: originals all survive (raw max pairwise cos ≈ 0.51) and
+    # every planted copy co-clustered with its original is pruned
+    planted = got["vec_id"] >= 1_000_000_000
+    assert planted.any()
+    assert (got.loc[~planted, "keep"] == 1).all()
+    by_id = got.set_index("vec_id")
+    co = [
+        p for p in got.loc[planted, "vec_id"]
+        if by_id.at[p - 1_000_000_000, "cluster_id"] == by_id.at[p, "cluster_id"]
+    ]
+    assert co, "no planted copy landed in its original's cluster"
+    assert (by_id.loc[co, "keep"] == 0).all()
+
+    # cross-run determinism: the sampler is a pure function of the ids
+    # (Dataset.limit order is NOT — the bug this pins), so a second run is
+    # byte-equal
+    pd.testing.assert_frame_equal(semdedup_prune(SF), got)
