@@ -35,6 +35,7 @@ os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+_PROC_T0 = time.monotonic()
 
 
 def _init_ray(num_cpus: int) -> None:
@@ -92,7 +93,7 @@ def run_bench(num_cpus: int) -> dict:
     # GRAFT_BENCH_IDLE_GATE=0; the release-time busy fraction is reported.
     gate = os.environ.get("GRAFT_BENCH_IDLE_GATE", "0.20")
     load_at_start = (
-        _wait_for_idle_host(float(gate), max_wait_s=180)
+        _wait_for_idle_host(float(gate), max_wait_s=120)
         if float(gate) > 0
         else -1.0
     )
@@ -303,6 +304,9 @@ if __name__ == "__main__":
             thresh > 0
             and result.get("steal_frac", 0.0) > thresh
             and not os.environ.get("GRAFT_BENCH_IS_RETRY")
+            # bound total wall time (a caller may time-box bench.py): only
+            # retry while the first attempt left room for one more
+            and time.monotonic() - _PROC_T0 < 300
         ):
             try:
                 out = subprocess.run(

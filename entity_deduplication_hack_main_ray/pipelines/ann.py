@@ -285,7 +285,10 @@ def near_dup_pairs_dataset(
     dim = len(head[0]["embedding"])
     mean_ref = None
     if center:
-        sample = _stack(ds.limit(2048).to_pandas()["embedding"])
+        # deterministic sample (pure function of the ids, not of block
+        # arrival order): above the sample size a limit()-based subset
+        # would make the mean — and every bucket downstream — run-dependent
+        sample = _stack(_det_sample_rows(ds, 2048)["embedding"])
         sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
         mean_ref = ray.put(sn.mean(axis=0))
     rng = np.random.default_rng(seed)
