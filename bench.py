@@ -115,7 +115,7 @@ def run_bench(num_cpus: int) -> dict:
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
         lambda b: b, num_cpus=1, batch_format="pyarrow"
     ).count()
-    warm_dir, _ = corpus_for_sf("/root/testdata/sf0.001")
+    warm_dir, _ = corpus_for_sf("/root/testdata/sf0.01")
     _, warm_clusters = dedup_pipeline(
         warm_dir, PipelineConfig(), num_partitions=max(64, num_cpus * 4)
     )
