@@ -8,7 +8,7 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
      "queries": {...per-query sec...}, "sf": 0.1, "num_cpus": 32,
      "images_per_sec": R, "busy_cpu_at_start": F}
 
-A bounded idle gate (≤180 s wait for host busy-CPU < 0.20, reported as
+A bounded idle gate (≤120 s wait for host busy-CPU < 0.20, reported as
 ``busy_cpu_at_start``; disable with GRAFT_BENCH_IDLE_GATE=0) runs before
 the timed section: this multi-tenant host has a documented ±2x wall-clock
 band, and the gate only ever delays the run — it never changes what runs.
@@ -100,7 +100,6 @@ def run_bench(num_cpus: int) -> dict:
 
     _init_ray(num_cpus)
     queries: dict[str, float] = {}
-    stat0 = _cpu_stat_snapshot()
 
     # untimed warmup: spawn the FULL worker pool first (a trivial
     # full-width map forces one worker per CPU slot — a tiny-corpus
@@ -121,6 +120,7 @@ def run_bench(num_cpus: int) -> dict:
     )
     warm_clusters.count()
 
+    stat0 = _cpu_stat_snapshot()  # steal window = the timed section only
     t0 = time.monotonic()
     _, clusters = dedup_pipeline(corpus_dir, PipelineConfig(), num_partitions=max(64, num_cpus * 4))
     n_clusters = clusters.count()

@@ -101,15 +101,18 @@ def _det_sample_rows(ds: ray.data.Dataset, n: int) -> pd.DataFrame:
             t, h = t.take(pa.array(keep)), h[keep]
         return t.append_column("_h", pa.array(h, pa.uint64()))
 
-    parts = ds.map_batches(batch_bottom, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return parts
-    return (
-        parts.sort_values(["_h", "vec_id"])
-        .head(n)
-        .drop(columns="_h")
-        .reset_index(drop=True)
-    )
+    # streaming driver merge: a running bottom-n, so driver memory is
+    # O(n + batch) no matter how many blocks the corpus has (global
+    # bottom-n by (_h, vec_id) is merge-order-insensitive)
+    best: pd.DataFrame | None = None
+    for b in ds.map_batches(batch_bottom, batch_format="pyarrow").iter_batches(
+        batch_size=max(n, 8192), batch_format="pandas"
+    ):
+        cand = b if best is None else pd.concat([best, b], ignore_index=True)
+        best = cand.sort_values(["_h", "vec_id"]).head(n)
+    if best is None:
+        return pd.DataFrame()
+    return best.drop(columns="_h").reset_index(drop=True)
 
 
 def brute_force_cosine_topk(
