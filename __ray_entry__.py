@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_cosine_topk) — strongest indirect verification of the 68 ----
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         "semdedup_prune": ann.semdedup_prune,
+        "knn_graph": ann.knn_graph,
         "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
         "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
         "image_embed_near_dup_pairs": ann.image_embed_near_dup_pairs,
@@ -521,6 +522,28 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.vec_id <> q.query_id
             )
             SELECT query_id, vec_id, cos_sim_e6 FROM scored WHERE rn <= 5
+        """,
+        # knn_graph: exact all-pairs cosine kNN edges (k=3) — the same
+        # LIST_COSINE_SIMILARITY + e6-floor + (cos DESC, id ASC) rank
+        # contract as ann_cosine_topk, partitioned by EVERY vector
+        "knn_graph": """
+            WITH scored AS (
+              SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                     CAST(FLOOR(LIST_COSINE_SIMILARITY(CAST(b.embedding AS DOUBLE[]),
+                                                       CAST(a.embedding AS DOUBLE[]))
+                                * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6
+              FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+            ),
+            ranked AS (
+              SELECT vec_id, nbr_id, cos_sim_e6,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos_sim_e6 DESC, nbr_id ASC
+                     ) AS nbr_rank
+              FROM scored
+            )
+            SELECT vec_id, nbr_id, cos_sim_e6, nbr_rank
+            FROM ranked WHERE nbr_rank <= 3
         """,
         # event_type_pivot: pivot columns are the generator's five event
         # types (stable across sf dirs); the engine discovers them from the

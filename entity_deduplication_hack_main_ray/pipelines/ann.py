@@ -884,3 +884,66 @@ def semdedup_prune(
         keep="int64",
     )
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def knn_graph(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Exact cosine k-nearest-neighbor graph over the embeddings table —
+    the curation primitive under diversity sampling, graph-based dedup and
+    SemDeDup variants: one row per (vector, neighbor) edge,
+    (vec_id, nbr_id, cos_sim_e6, nbr_rank) with nbr_rank 1..k ordered by
+    (cos DESC, nbr_id ASC), self-edges excluded.
+
+    Physical shape: the normalized reference matrix is pulled once and
+    broadcast via ``ray.put`` (the ``embedding_near_dup_pairs_exact``
+    small-table pattern); each batch computes its rows' top-k against the
+    full reference in one tiled matmul — each row's edge list is COMPLETE
+    within its batch, so there is no shuffle and no driver merge beyond
+    concatenation of n·k result rows. Exact all-pairs is the small-table
+    baseline; at 10^9 vectors the LSH/IVF bucketed variants above are the
+    scale path for the same contract.
+    """
+    ds = _emb(sf_dir)
+    ref_rows = ds.to_pandas()  # documented one-time small-table pull
+    if ref_rows.empty:
+        return typed_empty(
+            vec_id="int64", nbr_id="int64", cos_sim_e6="int64", nbr_rank="int64"
+        )
+    ref_ids = ref_rows["vec_id"].to_numpy().astype(np.int64)
+    R = _stack(ref_rows["embedding"])
+    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    ref = ray.put((ref_ids, Rn))
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids_r, Rn_ = ray.get(ref)
+        V = _stack(t["embedding"])
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = min(k, len(ids_r) - 1)
+        v_out, n_out, s_out, r_out = [], [], [], []
+        tile = 2048
+        for s in range(0, len(vid), tile):
+            sims_e6 = _e6(Vn[s : s + tile] @ Rn_.T)  # (tile, n_ref)
+            for r in range(sims_e6.shape[0]):
+                row = sims_e6[r]
+                mask = ids_r != vid[s + r]
+                nb, sc = ids_r[mask], row[mask]
+                order = np.lexsort((nb, -sc))[:kk]
+                v_out.append(np.full(len(order), vid[s + r], dtype=np.int64))
+                n_out.append(nb[order])
+                s_out.append(sc[order])
+                r_out.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "vec_id": pa.array(cat(v_out), pa.int64()),
+                "nbr_id": pa.array(cat(n_out), pa.int64()),
+                "cos_sim_e6": pa.array(cat(s_out), pa.int64()),
+                "nbr_rank": pa.array(cat(r_out), pa.int64()),
+            }
+        )
+
+    out = ensure_cols(
+        ds.map_batches(edges, batch_format="pyarrow").to_pandas(),
+        vec_id="int64", nbr_id="int64", cos_sim_e6="int64", nbr_rank="int64",
+    )
+    return out.sort_values(["vec_id", "nbr_rank"]).reset_index(drop=True)
