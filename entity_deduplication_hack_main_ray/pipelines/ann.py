@@ -908,8 +908,9 @@ def knn_graph(sf_dir: str, k: int = 3) -> pd.DataFrame:
         return typed_empty(
             vec_id="int64", nbr_id="int64", cos_sim_e6="int64", nbr_rank="int64"
         )
-    ref_ids = ref_rows["vec_id"].to_numpy().astype(np.int64)
-    R = _stack(ref_rows["embedding"])
+    order = np.argsort(ref_rows["vec_id"].to_numpy().astype(np.int64))
+    ref_ids = ref_rows["vec_id"].to_numpy().astype(np.int64)[order]
+    R = _stack(ref_rows["embedding"])[order]  # id-SORTED: column index = id rank
     Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
     ref = ray.put((ref_ids, Rn))
 
@@ -919,26 +920,53 @@ def knn_graph(sf_dir: str, k: int = 3) -> pd.DataFrame:
         Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
         vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         kk = min(k, len(ids_r) - 1)
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "nbr_id": pa.array([], pa.int64()),
+                "cos_sim_e6": pa.array([], pa.int64()),
+                "nbr_rank": pa.array([], pa.int64()),
+            }
+        )
+        if kk <= 0 or not len(vid):
+            return empty
+        # vectorized per-row top-k with deterministic ties: one composite
+        # int64 key per cell — cos_sim_e6 in the high bits, REVERSED id
+        # rank in the low 32 (ids_r is id-sorted, so larger low bits =
+        # smaller nbr_id; cos steps are multiples of 2^32, so the tie
+        # term can never cross cos levels). No per-row Python loop.
+        rev = np.arange(len(ids_r) - 1, -1, -1, dtype=np.int64)[None, :]
         v_out, n_out, s_out, r_out = [], [], [], []
         tile = 2048
         for s in range(0, len(vid), tile):
-            sims_e6 = _e6(Vn[s : s + tile] @ Rn_.T)  # (tile, n_ref)
-            for r in range(sims_e6.shape[0]):
-                row = sims_e6[r]
-                mask = ids_r != vid[s + r]
-                nb, sc = ids_r[mask], row[mask]
-                order = np.lexsort((nb, -sc))[:kk]
-                v_out.append(np.full(len(order), vid[s + r], dtype=np.int64))
-                n_out.append(nb[order])
-                s_out.append(sc[order])
-                r_out.append(np.arange(1, len(order) + 1, dtype=np.int64))
-        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+            vt = vid[s : s + tile]
+            sims_e6 = _e6(Vn[s : s + tile] @ Rn_.T)  # (m, n_ref)
+            key = sims_e6 * (np.int64(1) << 32) + rev
+            # self-exclusion: sink each row's own column (if present)
+            pos = np.searchsorted(ids_r, vt)
+            posc = np.minimum(pos, len(ids_r) - 1)
+            is_self = ids_r[posc] == vt
+            # sentinel BELOW any real cos level (cos_e6 ≥ -1e6) — NOT
+            # int64 min, whose negation wraps back to itself and would
+            # make the self cell the largest of -key
+            key[np.nonzero(is_self)[0], posc[is_self]] = (
+                np.int64(-2_000_001) << 32
+            )
+            top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+            tk = np.take_along_axis(key, top, axis=1)
+            cols = np.take_along_axis(
+                top, np.argsort(-tk, axis=1, kind="stable"), axis=1
+            )  # (m, kk), rank order
+            v_out.append(np.repeat(vt, kk))
+            n_out.append(ids_r[cols].ravel())
+            s_out.append(np.take_along_axis(sims_e6, cols, axis=1).ravel())
+            r_out.append(np.tile(np.arange(1, kk + 1, dtype=np.int64), len(vt)))
         return pa.table(
             {
-                "vec_id": pa.array(cat(v_out), pa.int64()),
-                "nbr_id": pa.array(cat(n_out), pa.int64()),
-                "cos_sim_e6": pa.array(cat(s_out), pa.int64()),
-                "nbr_rank": pa.array(cat(r_out), pa.int64()),
+                "vec_id": pa.array(np.concatenate(v_out), pa.int64()),
+                "nbr_id": pa.array(np.concatenate(n_out), pa.int64()),
+                "cos_sim_e6": pa.array(np.concatenate(s_out), pa.int64()),
+                "nbr_rank": pa.array(np.concatenate(r_out), pa.int64()),
             }
         )
 
