@@ -61,14 +61,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     # ORDER MATTERS: the round driver sweeps this dict IN ORDER and is
-    # budget-bounded (50 CORRECTNESS rows per round). Layout: [1-44] every
-    # oracle-backed query (hash-checked — all 44 inside the cut; a
+    # budget-bounded (50 CORRECTNESS rows per round). Layout: [1-45] every
+    # oracle-backed query (hash-checked — all 45 inside the cut; a
     # first-time HASH row is the strongest signal, so record_linkage /
-    # tfidf_top_terms / chunk_documents, SQL-oracled but never
-    # driver-checked, moved inside), [45-50] the ROTATION slots: six
+    # tfidf_top_terms / chunk_documents / knn_graph, SQL-oracled but never
+    # driver-checked, moved inside), [46-50] the ROTATION slots: five
     # rows-only queries that had never received a driver row, chosen for
     # maximum marginal information (minhash + simhash end-to-end dedup,
-    # fingerprints, HLL sketch, audio/video legs — VERDICT r4 directive
+    # fingerprints, HLL sketch, audio leg — VERDICT r4 directive
     # #1), [51+] rows-only queries already driver-checked in round 4
     # (flagship image family, incremental) or whose hash-green siblings
     # share all machinery (simhash_docs/simhash_near_pairs are
@@ -124,11 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": text_dedup.decontaminate_docs,
         # ---- similarity search over embeddings (SQL-verified members) -----
         "ann_cosine_topk": ann.brute_force_cosine_topk,
-        # ---- SQL-oracled, first driver row this round [42-44] --------------
+        # ---- SQL-oracled, first driver row this round [42-45] --------------
         "record_linkage": linkage.record_linkage,
         "tfidf_top_terms": text_analysis.tfidf_top_terms,
         "chunk_documents": text_analysis.chunk_documents,
-        # ---- round-5 rotation slots [45-50]: rows-only queries with no
+        "knn_graph": ann.knn_graph,
+        # ---- round-5 rotation slots [46-50]: rows-only queries with no
         # prior driver CORRECTNESS row (each value-pinned in pytest; the
         # families with no hash-green sibling go first) ----------------------
         "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,
@@ -136,12 +137,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "approx_user_counts": relational.approx_user_counts,
         "audio_frame_features": audio.audio_frame_features,
-        "video_frame_stats": multimodal.video_frame_stats,
         # ---- past the budget cut [51+]: intermediates of in-cut chains
         # (simhash_dedup_docs runs sign→pairs→cluster end-to-end, so its
         # two intermediates add the least marginal information;
         # substring_dedup_docs is union-find over the hash-green
-        # substring_dup_pairs rows) -----------------------------------------
+        # substring_dup_pairs rows; video_frame_stats shares the
+        # frame-sampling actor plumbing with the in-cut audio leg and is
+        # physics-pinned in pytest) ------------------------------------------
+        "video_frame_stats": multimodal.video_frame_stats,
         "simhash_docs": text_dedup.simhash_signatures_table,
         "simhash_near_pairs": text_dedup.simhash_near_pairs,
         "substring_dedup_docs": text_dedup.substring_dedup_docs,
@@ -163,7 +166,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_cosine_topk) — strongest indirect verification of the 68 ----
         "embedding_near_dup_pairs": ann.embedding_near_dup_pairs,
         "semdedup_prune": ann.semdedup_prune,
-        "knn_graph": ann.knn_graph,
         "text_embed_near_dup_pairs": ann.text_embed_near_dup_pairs,
         "caption_embed_near_dup_pairs": ann.caption_embed_near_dup_pairs,
         "image_embed_near_dup_pairs": ann.image_embed_near_dup_pairs,

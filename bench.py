@@ -86,7 +86,7 @@ def run_bench(num_cpus: int) -> dict:
             fh.read()
 
     # bounded idle gate (default on): this host is multi-tenant with a
-    # documented ±2x wall-clock band; waiting (≤180 s) for an idle window
+    # documented ±2x wall-clock band; waiting (≤120 s) for an idle window
     # only DELAYS the timed section — it never changes what runs — so the
     # single-run methodology stays comparable round-over-round while the
     # reading reflects the engine, not a tenancy burst. Disable with
@@ -197,12 +197,14 @@ def _cpu_busy_fraction(sample_s: float = 3.0) -> float:
 def _wait_for_idle_host(threshold: float, max_wait_s: int = 900) -> float:
     """Block until the host's instantaneous busy-CPU fraction drops under
     ``threshold`` (or ``max_wait_s`` elapses) and return the fraction at
-    release. Opt-in via GRAFT_SCALING_IDLE_GATE: this sandbox host is
-    multi-tenant, and an external job landing mid-leg corrupts that leg's
-    throughput — gating EACH leg reproduces what the real criterion
-    measures (two separate `ray job submit` runs on otherwise-idle
-    fixed-size clusters). The gate only ever delays a leg; it never
-    changes what the leg runs."""
+    release. Default-mode bench runs this via GRAFT_BENCH_IDLE_GATE
+    (default on, threshold 0.20, ≤120 s); --scaling legs use the opt-in
+    GRAFT_SCALING_IDLE_GATE instead, applied symmetrically to both legs:
+    this sandbox host is multi-tenant, and an external job landing
+    mid-leg corrupts that leg's throughput — gating EACH leg reproduces
+    what the real criterion measures (two separate `ray job submit` runs
+    on otherwise-idle fixed-size clusters). The gate only ever delays a
+    run; it never changes what runs."""
     deadline = time.monotonic() + max_wait_s
     while True:
         busy = _cpu_busy_fraction()
@@ -220,7 +222,17 @@ def _run_subprocess(num_cpus: int, corpus_dir: str | None = None) -> dict:
                         "load_at_start": load}),
             file=sys.stderr,
         )
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    # Each scaling leg is ONE fresh cold run: the default-mode idle gate
+    # and steal-triggered best-of-two retry must NOT leak into the legs
+    # (an undisclosed retry on one leg only would bias the efficiency
+    # ratio; the per-leg gate here is the opt-in GRAFT_SCALING_IDLE_GATE
+    # handled above, applied symmetrically to both legs).
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(num_cpus),
+        GRAFT_BENCH_STEAL_RETRY="0",
+        GRAFT_BENCH_IDLE_GATE="0",
+    )
     if corpus_dir:
         env["GRAFT_CORPUS_DIR"] = corpus_dir
         env["GRAFT_BENCH_DEDUP_ONLY"] = "1"
@@ -272,6 +284,10 @@ def run_scaling() -> dict:
         "images_per_sec_hi": tp_hi,
         "dedup_sec_lo": r_lo["queries"]["image_dedup"],
         "dedup_sec_hi": r_hi["queries"]["image_dedup"],
+        # per-leg hypervisor steal during the timed section — disclosed so
+        # a tenancy burst hitting one leg is visible in the record
+        "steal_frac_lo": r_lo.get("steal_frac"),
+        "steal_frac_hi": r_hi.get("steal_frac"),
         "sf": r_lo["sf"],
     }
 

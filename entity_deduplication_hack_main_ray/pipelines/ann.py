@@ -282,6 +282,14 @@ def near_dup_pairs_dataset(
     component) otherwise collapse into a handful of buckets and the
     within-bucket matmul degenerates toward all-pairs.
     """
+    if center:
+        # center needs TWO full passes over ds (deterministic mean sample +
+        # the bucketing pass below); pin the blocks once so an expensive
+        # upstream (e.g. the image decode→DCT-embed actor pool) is not
+        # re-executed per pass — same "consumed twice at most" convention
+        # as text_dedup's exact_dedup. Spills to disk past object-store
+        # capacity rather than recomputing the upstream.
+        ds = ds.materialize()
     head = ds.take(1)
     if not head:  # empty input: nothing to bucket
         return typed_empty(id_a="int64", id_b="int64", cos_sim_e6="int64")
@@ -861,8 +869,7 @@ def semdedup_prune(
             sims_e6 = _e6(Vn[s:e] @ Vn.T)
             lower = np.arange(m)[None, :] < np.arange(s, e)[:, None]
             sims_e6[~lower] = _NO_LOWER_E6
-            if e - s and m:
-                max_lower[s:e] = sims_e6.max(axis=1)
+            max_lower[s:e] = sims_e6.max(axis=1)
         keep = (max_lower < thr_e6).astype(np.int64)
         return pa.table(
             {

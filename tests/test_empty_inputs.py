@@ -55,6 +55,8 @@ CASES = [
     ("ann_ivf_topk", ["query_id", "vec_id", "cos_sim_e6"]),
     ("embedding_near_dup_pairs", ["id_a", "id_b", "cos_sim_e6"]),
     ("text_embed_near_dup_pairs", ["id_a", "id_b", "cos_sim_e6"]),
+    ("semdedup_prune", ["vec_id", "cluster_id", "max_lower_cos_e6", "keep"]),
+    ("knn_graph", ["vec_id", "nbr_id", "cos_sim_e6", "nbr_rank"]),
     ("orders_above_customer_avg", ["o_orderkey", "o_custkey", "price_cents"]),
     ("user_event_lag", ["event_id", "user_id", "prev_gap_us", "rn"]),
     # pivot columns are data-dependent: empty input → just the key column
