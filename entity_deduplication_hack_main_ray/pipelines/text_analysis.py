@@ -615,3 +615,237 @@ def chunk_documents(
         chunk_text="object",
     )
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-n-gram fraction — the DIRECTIONAL span-dedup metric of Lee et
+# al. 2022 ("what fraction of this document's token windows already
+# appeared in an EARLIER document"), complementing `repeated_passages`
+# (which is symmetric: shared-with-anyone). Earlier = smaller doc_id, the
+# corpus ingestion order.
+
+
+def dup_gram_fraction(
+    sf_dir: str, n: int = 8, num_partitions: int = 32
+) -> pd.DataFrame:
+    """Per document: how many of its word-``n``-gram POSITIONS carry a gram
+    whose first corpus occurrence (minimum doc_id) is in an earlier
+    document. Returns ``(doc_id, n_grams, n_dup, dup_frac_e6)`` with
+    ``dup_frac_e6 = n_dup * 1e6 // n_grams`` (pure integer division — the
+    oracle computes the identical expression).
+
+    Physical plan: sliding windows are cut inside the mapper
+    (``_chunk_batch(size=n, stride=1)``, full windows only), fingerprinted
+    to 128 bits, and pre-aggregated per (gram, doc) BEFORE the exchange —
+    so the one ``groupby(pkey)`` shuffle moves O(distinct (gram, doc))
+    32-byte rows, not O(positions). Each partition kernel attributes every
+    gram group to its minimum doc_id with one lexsort; per-doc partials
+    then merge through a tiny coarse ``groupby(doc_id % P)``. Documents
+    with fewer than ``n`` words ride as zero-count sentinel rows keyed by
+    doc_id (uniform, never a hot key), so the output covers every
+    document. Gram text never crosses an exchange.
+    """
+    from ..functions import text as tx
+
+    P = num_partitions
+
+    def rows(t: pa.Table) -> pa.Table:
+        c = _chunk_batch(t, n, 1)
+        c = c.filter(pc.equal(c["n_words_chunk"], n))
+        h1, h2 = tx.content_fingerprint128(c["chunk_text"].to_pylist())
+        d = c["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # pre-aggregate per (gram, doc): one lexsort + boundary scan
+        o = np.lexsort((d, h2, h1))
+        h1s, h2s, ds = h1[o], h2[o], d[o]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = (
+            (h1s[1:] != h1s[:-1])
+            | (h2s[1:] != h2s[:-1])
+            | (ds[1:] != ds[:-1])
+        )
+        first = np.flatnonzero(new)
+        cnt = np.diff(np.append(first, len(o))).astype(np.int64)
+        h1u, h2u, du = h1s[first], h2s[first], ds[first]
+        # zero-count sentinel per batch document (h1=h2=0, keyed by doc_id
+        # so sentinels spread uniformly): keeps gram-less docs in the
+        # output without a second read; cnt=0 contributes nothing to any
+        # min-doc group it lands in.
+        alld = np.unique(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        z = np.zeros(len(alld), dtype=np.int64)
+        h1a = np.concatenate([h1u, z])
+        h2a = np.concatenate([h2u, z])
+        da = np.concatenate([du, alld])
+        ca = np.concatenate([cnt, z])
+        pkey = np.where(
+            np.concatenate([np.ones(len(h1u), bool), np.zeros(len(alld), bool)]),
+            h1a.view(np.uint64) % np.uint64(P),
+            da.view(np.uint64) % np.uint64(P),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": pa.array(pkey),
+                "h1": pa.array(h1a),
+                "h2": pa.array(h2a),
+                "doc_id": pa.array(da),
+                "cnt": pa.array(ca),
+            }
+        )
+
+    def attr(g: pd.DataFrame) -> pd.DataFrame:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        o = np.lexsort((d, h2, h1))
+        h1s, h2s, ds, cs = h1[o], h2[o], d[o], cnt[o]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        grp = np.cumsum(new) - 1
+        min_d = ds[np.flatnonzero(new)][grp]  # lexsort => first row is min doc
+        dup = np.where(ds > min_d, cs, 0)
+        part = (
+            pd.DataFrame({"doc_id": ds, "tot_p": cs, "dup_p": dup})
+            .groupby("doc_id", as_index=False)
+            .sum()
+        )
+        part["pkey2"] = (part["doc_id"].to_numpy() % P).astype(np.int64)
+        return part
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False).agg(
+            n_grams=("tot_p", "sum"), n_dup=("dup_p", "sum")
+        )
+        ng = m["n_grams"].to_numpy()
+        nd = m["n_dup"].to_numpy()
+        m["dup_frac_e6"] = np.where(ng > 0, nd * 1_000_000 // np.maximum(ng, 1), 0)
+        return m
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(attr, batch_format="pandas")
+        .groupby("pkey2")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(
+        out, doc_id="int64", n_grams="int64", n_dup="int64",
+        dup_frac_e6="int64",
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_grams", "n_dup", "dup_frac_e6"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Quality-stratified deciles — the data-MIXING primitive that follows
+# quality scoring: every document gets its corpus-wide quality decile
+# (exact NTILE semantics over (score DESC, doc_id ASC)), so mixture
+# experiments can up/down-weight strata reproducibly.
+
+
+def _ntile(rank: np.ndarray, total: int, k: int) -> np.ndarray:
+    """Exact SQL NTILE(k) bucket for 0-based global ``rank`` out of
+    ``total`` rows: the first ``total % k`` buckets hold ``total//k + 1``
+    rows, the rest ``total//k``."""
+    small = total // k
+    rem = total % k
+    big = small + 1
+    cut = rem * big
+    return np.where(
+        rank < cut,
+        rank // max(big, 1),
+        rem + (rank - cut) // max(small, 1),
+    ).astype(np.int64) + 1
+
+
+def quality_deciles(
+    sf_dir: str, k: int = 10, num_partitions: int = 32
+) -> pd.DataFrame:
+    """Assign every document its exact corpus-wide quality decile
+    (``NTILE(k)`` over ``(quality_score DESC, doc_id ASC)``) where
+    ``quality_score`` is the hash-green ``doc_quality`` stopword ratio.
+    Returns ``(doc_id, quality_score, decile)``.
+
+    Scale design — exact global rank WITHOUT a global sort: the score is a
+    ratio in [0, 1e6], so the score histogram is BOUNDED (<= 1e6+1 bins)
+    regardless of corpus size. (1) one scoring pass produces 16-byte
+    (doc_id, score) rows, materialized once (the reduced projection, not
+    the corpus); (2) per-batch partial histograms merge on the driver into
+    cumulative greater-than counts — a bounded broadcast, `ray.put` once;
+    (3) one ``groupby(score % P)`` exchange co-locates each score's docs,
+    whose kernel computes within-score offsets by doc_id and adds the
+    broadcast cum-count: rank = |{score' > s}| + |{same s, smaller id}|.
+    No all-to-all sort; the one exchange moves fixed-width rows.
+    """
+    P = num_partitions
+
+    def srows(t: pa.Table) -> pa.Table:
+        q = _quality_batch(t)
+        s = q["stopword_ratio_e6"]
+        pkey = (
+            s.to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table(
+            {"doc_id": q["doc_id"], "score": s, "pkey": pa.array(pkey)}
+        )
+
+    scored = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(srows, batch_format="pyarrow")
+        .materialize()  # 16-byte rows: reused by both passes below
+    )
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t["score"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"score": pa.array(v), "n_p": pa.array(c.astype(np.int64))}
+        )
+
+    hist = (
+        scored.map_batches(hist_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("score")["n_p"]
+        .sum()
+        .sort_index()
+    )
+    sc_asc = hist.index.to_numpy().astype(np.int64)
+    cnts = hist.to_numpy().astype(np.int64)
+    total = int(cnts.sum())
+    # gt_asc[i] = #docs with score strictly greater than sc_asc[i]
+    gt_asc = total - np.cumsum(cnts)
+    ref = ray.put((sc_asc, gt_asc, total))
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        sca, gta, n = ray.get(ref)
+        s = g["score"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        o = np.lexsort((d, s))
+        ss, ds = s[o], d[o]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = ss[1:] != ss[:-1]
+        first = np.flatnonzero(new)
+        off = np.arange(len(o)) - first[np.cumsum(new) - 1]
+        rank = gta[np.searchsorted(sca, ss)] + off
+        return pd.DataFrame(
+            {
+                "doc_id": ds,
+                "quality_score": ss,
+                "decile": _ntile(rank, n, k),
+            }
+        )
+
+    out = (
+        scored.groupby("pkey")
+        .map_groups(kern, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(
+        out, doc_id="int64", quality_score="int64", decile="int64"
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1845,3 +1845,86 @@ def decontaminate_docs(
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "n_hits", "keep"]
     ]
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup — the RefinedWeb/C4 "line-level dedup" stage at
+# fixed word-window granularity (this corpus is newline-free, so the unit
+# of repetition is a disjoint `size`-word passage, not a newline line).
+
+
+def dedup_passages(
+    sf_dir: str, size: int = 32, num_partitions: int = 64
+) -> pd.DataFrame:
+    """Global passage-level exact deduplication: cut every document into
+    disjoint ``size``-word passages and assign each passage the FIRST
+    corpus-wide occurrence of its exact text — ordered by
+    ``(doc_id, chunk_idx)`` — as its representative. One row per passage:
+    ``(doc_id, chunk_idx, rep_doc_id, rep_chunk_idx, is_dup)``.
+
+    Physical plan (the exact-dedup family contract, `_fp128_keyed` above):
+    passages are cut INSIDE the mapper (``_chunk_batch`` — one Arrow take +
+    ``binary_join``, no per-chunk Python), fingerprinted to 128 bits
+    (blake2b, collision p ~ 2**-128), and only 40-byte rows
+    ``(pkey, h1, h2, doc_id, chunk_idx)`` ride the single
+    ``groupby(pkey)`` exchange — passage TEXT never leaves the task that
+    cut it. Each partition kernel resolves first-occurrence
+    representatives with one lexsort + boundary scan. At 100 TB this is
+    one hash-partitioned exchange of O(total passages) fixed-width rows
+    with uniform keys (fingerprints don't skew), and the output streams
+    back per partition.
+    """
+    from ..functions import text as tx
+    from .text_analysis import _chunk_batch
+
+    P = num_partitions
+
+    def rows(t: pa.Table) -> pa.Table:
+        c = _chunk_batch(t, size, size)
+        h1, h2 = tx.content_fingerprint128(c["chunk_text"].to_pylist())
+        pkey = (h1.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": pa.array(pkey),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_id": c["doc_id"],
+                "chunk_idx": c["chunk_idx"],
+            }
+        )
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        ci = g["chunk_idx"].to_numpy()
+        o = np.lexsort((ci, d, h2, h1))
+        h1s, h2s, ds, cis = h1[o], h2[o], d[o], ci[o]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        grp = np.cumsum(new) - 1
+        first = np.flatnonzero(new)
+        rep_d = ds[first][grp]
+        rep_c = cis[first][grp]
+        return pd.DataFrame(
+            {
+                "doc_id": ds,
+                "chunk_idx": cis,
+                "rep_doc_id": rep_d,
+                "rep_chunk_idx": rep_c,
+                "is_dup": ((ds != rep_d) | (cis != rep_c)).astype(np.int64),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(assign, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(
+        out, doc_id="int64", chunk_idx="int64", rep_doc_id="int64",
+        rep_chunk_idx="int64", is_dup="int64",
+    )
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
