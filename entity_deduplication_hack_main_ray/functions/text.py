@@ -277,6 +277,15 @@ QUALITY_WCHAR_RE = r"\w"
 # the Arrow batch kernel (count_substring_regex) and the DuckDB oracle
 # (REGEXP_EXTRACT_ALL) — both are RE2, so counts are bit-identical.
 BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+# PII-scrub patterns (pipelines.text_analysis.redact_pii): shared VERBATIM
+# by the Arrow kernels (count_substring_regex / replace_substring_regex)
+# and the DuckDB oracle (REGEXP_EXTRACT_ALL / REGEXP_REPLACE(..., 'g')) —
+# both engines are RE2, so counts and replacements are bit-identical.
+# Applied in this order: email, then IPv4, then phone.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 _STOPWORD_LIST = (
     "the a an and or of to in is are was were be for on with as by at it "
     "this that from"

@@ -849,3 +849,112 @@ def quality_deciles(
         out, doc_id="int64", quality_score="int64", decile="int64"
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub pass every public training corpus runs before
+# release. One embarrassingly parallel map_batches; every count/replace is
+# an Arrow RE2 kernel over the whole batch (patterns compiled once per
+# worker at import). The synthetic corpus carries no PII, so on the sf
+# tables this query doubles as a NO-FALSE-POSITIVES proof (the oracle
+# compares the full redacted text per document); the crafted pytest proves
+# the redaction itself.
+
+
+def redact_pii(sf_dir: str) -> pd.DataFrame:
+    """Redact emails → ``<EMAIL>``, IPv4 addresses → ``<IP>``, then
+    phone-shaped numbers → ``<PHONE>`` (in that fixed order, each count
+    taken on the text AFTER the previous category's replacement — the
+    contract the oracle replicates step for step). Returns
+    ``(doc_id, n_emails, n_ips, n_phones, clean_text)``.
+    """
+
+    def scrub(t: pa.Table) -> pa.Table:
+        def step(col, pat, repl):
+            n = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+            return n, pc.replace_substring_regex(col, pat, repl)
+
+        ne, s1 = step(t["text"], tx.PII_EMAIL_RE, "<EMAIL>")
+        ni, s2 = step(s1, tx.PII_IPV4_RE, "<IP>")
+        np_, s3 = step(s2, tx.PII_PHONE_RE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_emails": ne,
+                "n_ips": ni,
+                "n_phones": np_,
+                "clean_text": s3,
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(scrub, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", n_emails="int64", n_ips="int64",
+                      n_phones="int64", clean_text="object")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Token-offset sharding ("sequence packing" at the shard level): assign
+# every document a deterministic training-shard id from its token offset
+# in doc_id order — the fixed-length-chunk pass a GPT-style pipeline runs
+# after curation. Documents are range-partitioned by doc_id so the
+# prefix-sum is partition-local (no global sequential dependency at
+# 100 TB: each `part` packs independently and in parallel).
+
+
+def pack_token_shards(
+    sf_dir: str, budget: int = 256, part_size: int = 1000
+) -> pd.DataFrame:
+    """Within each doc_id range partition (``part = doc_id // part_size``),
+    order documents by doc_id, take the exclusive prefix sum of whitespace
+    token counts (the ``doc_stats`` n_tokens contract), and assign
+    ``shard = tok_offset // budget`` — a document lands in the shard where
+    its first token falls. Returns
+    ``(doc_id, part, n_tokens, tok_offset, shard)``.
+
+    One pruned read → token counts per batch (Arrow RE2) → ONE
+    ``groupby(part)`` exchange of 24-byte rows whose kernel is a sort +
+    cumsum. Group size is bounded by ``part_size`` regardless of corpus
+    size, so no partition kernel ever sees more than ``part_size`` rows.
+    """
+    P = part_size
+
+    def rows(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = (
+            pc.count_substring_regex(t["text"], r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "part": pa.array(d // P),
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        nt = g["n_tokens"].to_numpy()
+        off = np.concatenate([[0], np.cumsum(nt)[:-1]]).astype(np.int64)
+        g["tok_offset"] = off
+        g["shard"] = off // budget
+        return g
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", part="int64", n_tokens="int64",
+                      tok_offset="int64", shard="int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "part", "n_tokens", "tok_offset", "shard"]
+    ]

@@ -138,3 +138,58 @@ def test_quality_deciles_small_n_edge(ray_session, tmp_path):
     # highest stopword ratio -> decile 1
     top = out.sort_values(["quality_score", "doc_id"], ascending=[False, True])
     assert top.iloc[0].decile == 1
+
+
+def test_redact_pii_planted(ray_session, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "mail me at bob.smith+x@ex-ample.co.uk or 10.0.0.1"),
+            (2, "call 555-123-4567 now ip 1.2.3.4"),
+            (3, "no pii here at all"),
+        ],
+    )
+    out = ta.redact_pii(sf).set_index("doc_id")
+    assert out.loc[1, "clean_text"] == "mail me at <EMAIL> or <IP>"
+    assert out.loc[1, ["n_emails", "n_ips", "n_phones"]].tolist() == [1, 1, 0]
+    assert out.loc[2, "clean_text"] == "call <PHONE> now ip <IP>"
+    assert out.loc[2, ["n_emails", "n_ips", "n_phones"]].tolist() == [0, 1, 1]
+    assert out.loc[3, "clean_text"] == "no pii here at all"
+
+
+def test_redact_pii_no_false_positives_on_corpus(ray_session):
+    # the synthetic corpus carries no PII: the scrub must be the identity
+    out = ta.redact_pii(SF001)
+    assert (out[["n_emails", "n_ips", "n_phones"]].to_numpy() == 0).all()
+    docs = pq.read_table(
+        os.path.join(SF001, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out["clean_text"].to_numpy() == docs["text"].to_numpy()).all()
+
+
+def test_pack_token_shards_crafted(ray_session, tmp_path):
+    # budget 256, part_size 1000: doc ids 0,1,2 in part 0 with 100 tokens
+    # each -> offsets 0/100/200 -> shard 0/0/0; doc 3 with 100 -> offset
+    # 300 -> shard 1; doc 1001 starts part 1 at offset 0.
+    rows = [(i, _words("w", 100)) for i in range(4)] + [(1001, _words("w", 100))]
+    sf = _write_docs(tmp_path, rows)
+    out = ta.pack_token_shards(sf).set_index("doc_id")
+    assert out["tok_offset"].tolist() == [0, 100, 200, 300, 0]
+    assert out["shard"].tolist() == [0, 0, 0, 1, 0]
+    assert out.loc[1001, "part"] == 1
+
+
+def test_pack_token_shards_shard_budget_property(ray_session):
+    # a shard's token span starts within budget of its first doc: for every
+    # consecutive doc pair in one (part, shard), offsets differ < 256 + max
+    # doc length; and the first doc of each shard has tok_offset // 256 ==
+    # shard by construction. Stronger: within a part, offsets are the
+    # cumsum of n_tokens (exclusive), i.e. packing loses no tokens.
+    out = ta.pack_token_shards(SF001)
+    for _, g in out.groupby("part"):
+        g = g.sort_values("doc_id")
+        expect = np.concatenate(
+            [[0], np.cumsum(g["n_tokens"].to_numpy())[:-1]]
+        )
+        assert (g["tok_offset"].to_numpy() == expect).all()
+        assert (g["shard"].to_numpy() == expect // 256).all()
