@@ -807,13 +807,13 @@ def quality_deciles(
             {"score": pa.array(v), "n_p": pa.array(c.astype(np.int64))}
         )
 
-    hist = (
-        scored.map_batches(hist_part, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("score")["n_p"]
-        .sum()
-        .sort_index()
-    )
+    hp = scored.map_batches(hist_part, batch_format="pyarrow").to_pandas()
+    if hp.empty:  # zero-row corpus: Ray drops the schema with the rows
+        return ensure_cols(
+            pd.DataFrame(), doc_id="int64", quality_score="int64",
+            decile="int64",
+        )
+    hist = hp.groupby("score")["n_p"].sum().sort_index()
     sc_asc = hist.index.to_numpy().astype(np.int64)
     cnts = hist.to_numpy().astype(np.int64)
     total = int(cnts.sum())

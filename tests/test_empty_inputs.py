@@ -68,6 +68,14 @@ CASES = [
     ("tfidf_top_terms", ["doc_id", "word", "tf", "df", "score"]),
     ("chunk_documents", ["doc_id", "chunk_idx", "n_words_chunk",
                          "chunk_text"]),
+    ("dedup_passages", ["doc_id", "chunk_idx", "rep_doc_id",
+                        "rep_chunk_idx", "is_dup"]),
+    ("dup_gram_fraction", ["doc_id", "n_grams", "n_dup", "dup_frac_e6"]),
+    ("quality_deciles", ["doc_id", "quality_score", "decile"]),
+    ("redact_pii", ["doc_id", "n_emails", "n_ips", "n_phones",
+                    "clean_text"]),
+    ("pack_token_shards", ["doc_id", "part", "n_tokens", "tok_offset",
+                           "shard"]),
 ]
 # (customer_region_rollup is absent from CASES because SQL ROLLUP yields
 # ONE grand-total row even on empty input — pinned by its own test below.)
