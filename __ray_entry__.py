@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "audio_frame_features": audio.audio_frame_features,
         "approx_user_counts": relational.approx_user_counts,
+        # heavy_hitter_words: Misra-Gries sketch — approximate by design
+        # (rows-only; its est<=true<=est+err invariants and the
+        # capacity>=vocab degeneracy to the hash-green top_words are
+        # pinned in tests/test_passage_ops.py)
+        "heavy_hitter_words": text_analysis.heavy_hitter_words,
         "video_frame_stats": multimodal.video_frame_stats,
         "simhash_docs": text_dedup.simhash_signatures_table,
         "simhash_near_pairs": text_dedup.simhash_near_pairs,

@@ -958,3 +958,109 @@ def pack_token_shards(
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "part", "n_tokens", "tok_offset", "shard"]
     ]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the bounded-state approximate sibling of the
+# exact `top_words` (as `approx_user_counts`' HLL is to the exact
+# `event_user_counts`): per-batch summaries of at most `capacity` counters,
+# merged word-wise, one final compression. At 100 TB the exchange volume is
+# O(batches * capacity) fixed-width rows no matter how skewed the corpus;
+# `top_words`' exact path pays one full word exchange instead.
+
+
+def _mg_compress(
+    words: np.ndarray, counts: np.ndarray, capacity: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """One Misra-Gries decrement step: if more than ``capacity`` counters
+    survive, subtract the (capacity+1)-th largest count from all and drop
+    the non-positive. Every counter shrinks by at most the returned
+    ``thr``, and dropped words had true-count-so-far <= ``thr``."""
+    if len(words) <= capacity:
+        return words, counts, 0
+    thr = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1
+    ]
+    keep = counts > thr
+    return words[keep], counts[keep] - thr, int(thr)
+
+
+def _mg_partial(t: pa.Table, capacity: int) -> pa.Table:
+    """Per-batch summary: exact factorize+bincount, one compression, plus
+    two meta rows (meta=1: exact batch word total, meta=2: the batch's
+    subtracted error) so the merge can carry N and the error bound."""
+    _parent, codes, _nw, uniq = _word_splits(t)
+    cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    w, c, err = _mg_compress(np.asarray(uniq, dtype=object), cnt, capacity)
+    return pa.table(
+        {
+            "word": pa.array(list(w) + ["", ""], pa.string()),
+            "cnt": pa.array(
+                np.concatenate([c, [cnt.sum(), err]]).astype(np.int64)
+            ),
+            "meta": pa.array(
+                np.concatenate(
+                    [np.zeros(len(w), np.int64), [1, 2]]
+                ).astype(np.int64)
+            ),
+        }
+    )
+
+
+def heavy_hitter_words(
+    sf_dir: str, k: int = 20, capacity: int = 256
+) -> pd.DataFrame:
+    """Approximate corpus top-``k`` words from mergeable Misra-Gries
+    summaries. Returns ``(word, est_count, err_bound, n_total)`` sorted by
+    (est_count DESC, word ASC).
+
+    Guarantees that hold for ANY batch layout (asserted in pytest against
+    exact counts): ``est_count <= true_count <= est_count + err_bound``
+    for every emitted word, and any word with
+    ``true_count > err_bound`` is present in the summary. The point
+    estimates themselves may shift within the bound when Ray re-batches
+    the read (inherent to Misra-Gries merging); with
+    ``capacity >= distinct words`` the sketch degrades to exact and
+    equals ``top_words`` bit-for-bit. Scale shape: each batch ships at
+    most ``capacity + 2`` rows; the driver merge handles
+    O(batches x capacity) rows (tree-mergeable at cluster scale since
+    the merge is word-wise sum + one compression).
+    """
+    parts = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: _mg_partial(t, capacity), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    if parts.empty:
+        return ensure_cols(
+            pd.DataFrame(), word="object", est_count="int64",
+            err_bound="int64", n_total="int64",
+        )
+    n_total = int(parts.loc[parts.meta == 1, "cnt"].sum())
+    batch_err = int(parts.loc[parts.meta == 2, "cnt"].sum())
+    agg = (
+        parts.loc[parts.meta == 0]
+        .groupby("word")["cnt"]
+        .sum()
+    )
+    w, c, thr = _mg_compress(
+        agg.index.to_numpy(dtype=object), agg.to_numpy(), capacity
+    )
+    err = batch_err + thr
+    out = (
+        pd.DataFrame(
+            {
+                "word": w,
+                "est_count": c.astype(np.int64),
+                "err_bound": np.int64(err),
+                "n_total": np.int64(n_total),
+            }
+        )
+        .sort_values(["est_count", "word"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ensure_cols(out, word="object", est_count="int64",
+                       err_bound="int64", n_total="int64")

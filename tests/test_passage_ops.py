@@ -193,3 +193,39 @@ def test_pack_token_shards_shard_budget_property(ray_session):
         )
         assert (g["tok_offset"].to_numpy() == expect).all()
         assert (g["shard"].to_numpy() == expect // 256).all()
+
+
+def _exact_word_counts(sf_dir):
+    import duckdb
+
+    return duckdb.sql(
+        f"""SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              SELECT UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS word
+              FROM read_parquet('{sf_dir}/documents.parquet'))
+            GROUP BY word"""
+    ).df().set_index("word")["n"]
+
+
+def test_heavy_hitters_invariants(ray_session):
+    # bounds hold for ANY batch layout: est <= true <= est + err_bound,
+    # and every word with true count > err_bound is in the full summary
+    out = ta.heavy_hitter_words(SF001, k=10**9, capacity=64)
+    true = _exact_word_counts(SF001)
+    assert (out.n_total == int(true.sum())).all()
+    err = int(out.err_bound.iloc[0])
+    got = out.set_index("word")["est_count"]
+    for w, est in got.items():
+        assert est <= true[w] <= est + err
+    must_have = set(true[true > err].index)
+    assert must_have <= set(got.index)
+    assert len(out) <= 64
+
+
+def test_heavy_hitters_exact_at_full_capacity(ray_session):
+    # capacity >= vocabulary: the sketch degrades to exact counting and
+    # equals the hash-green top_words bit-for-bit with a zero bound
+    hh = ta.heavy_hitter_words(SF001, k=20, capacity=10**6)
+    tw = ta.top_words(SF001, k=20)
+    assert (hh.err_bound == 0).all()
+    assert hh.word.tolist() == tw.word.tolist()
+    assert hh.est_count.tolist() == tw.n.tolist()
