@@ -62,11 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDER MATTERS: the round driver sweeps this dict IN ORDER and is
     # budget-bounded (50 CORRECTNESS rows per round). Layout: [1-49]
-    # 49 of the 51 oracle-backed queries (hash-checked; the five round-5
+    # 49 of the 52 oracle-backed queries (hash-checked; the six round-5
     # continuation additions dedup_passages / dup_gram_fraction /
-    # quality_deciles / redact_pii / pack_token_shards are all first-time
-    # HASH rows — two repeat-green oracles rotated past the cut to make
-    # room, see the [51+] comment), [50] the single rotation slot:
+    # quality_deciles / redact_pii / pack_token_shards /
+    # embedding_spike_outliers are all first-time HASH rows — three
+    # repeat-green oracles rotated past the cut to make room, see the
+    # [51+] comment), [50] the single rotation slot:
     # minhash_lsh_dedup_docs, the one never-driver-checked query with no
     # hash-green family sibling (VERDICT r4 directive #1 balanced against
     # oracle priority), [51+] the two rotated-out repeat-green oracles,
@@ -82,7 +83,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": relational.segment_revenue,
         "top_order_per_customer": relational.top_order_per_customer,
         "event_type_stats": relational.event_type_stats,
-        "nation_region_counts": relational.nation_region_counts,
         "daily_order_totals": relational.daily_order_totals,
         "hourly_user_windows": relational.hourly_user_windows,
         "user_sessions": relational.user_sessions,
@@ -133,19 +133,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_deciles": text_analysis.quality_deciles,
         "redact_pii": text_analysis.redact_pii,
         "pack_token_shards": text_analysis.pack_token_shards,
+        "embedding_spike_outliers": ann.embedding_spike_outliers,
         # ---- rotation slot [50]: the one rows-only query with no prior
         # driver row AND no hash-green family sibling — the MinHash+LSH
         # end-to-end dedup chain (the north rule's core; signature
         # equality is probabilistic, so no SQL oracle can exist) -------------
         "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,
         # ---- past the budget cut [51+]: queries whose strongest evidence
-        # lives elsewhere. First the two SQL-oracled queries rotated OUT to
-        # make room for the five new first-time HASH rows — both were
+        # lives elsewhere. First the three SQL-oracled queries rotated OUT
+        # to make room for the six new first-time HASH rows — all were
         # hash-green in CORRECTNESS_r04 and re-verify against their oracles
         # on every pytest session and in the BASELINE validate receipts:
         # customers_without_orders (a 0-row compare at sf0.01, the least
-        # informative of all hash rows) and distinct_event_types (machinery
-        # subsumed by the in-cut event_type_stats). Then the rows-only
+        # informative of all hash rows), distinct_event_types (machinery
+        # subsumed by the in-cut event_type_stats) and nation_region_counts
+        # (a 5-row dimension count, machinery identical to the in-cut
+        # event_type_stats / supplier_nation_stats). Then the rows-only
         # queries: simhash_dedup_docs' banding/clustering tail is shared
         # with the in-cut minhash chain and union-find-pinned in pytest;
         # doc_fingerprints is kernel-pinned; audio_frame_features is
@@ -154,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the approximate-ANN variants follow as before. -----------------------
         "customers_without_orders": relational.customers_without_orders,
         "distinct_event_types": relational.distinct_event_types,
+        "nation_region_counts": relational.nation_region_counts,
         "simhash_dedup_docs": text_dedup.simhash_dedup,
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "audio_frame_features": audio.audio_frame_features,
@@ -944,6 +948,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(part AS BIGINT) AS part, n_tokens,
                    tok_offset, CAST(tok_offset // 256 AS BIGINT) AS shard
             FROM o
+        """,
+        # embedding_spike_outliers: Tukey fence on the exact spike score
+        # (max |component| — no summation, so float64 agrees exactly across
+        # engines); QUANTILE_DISC matches the engine's histogram-selection
+        # rank rule (relational.order_price_quantiles contract); the fence
+        # itself is pure integer arithmetic. Non-vacuous: 7 flagged at
+        # sf0.01, 45 at sf0.1.
+        "embedding_spike_outliers": """
+            WITH m AS (
+              SELECT vec_id,
+                     CAST(FLOOR(LIST_MAX(LIST_TRANSFORM(
+                              CAST(embedding AS DOUBLE[]), x -> ABS(x)))
+                                * 1000000 + 0.5) AS BIGINT) AS spike_e6
+              FROM embeddings
+            ),
+            qs AS (SELECT QUANTILE_DISC(spike_e6, 0.25) AS q1,
+                          QUANTILE_DISC(spike_e6, 0.75) AS q3 FROM m)
+            SELECT vec_id, spike_e6,
+                   CAST(2*spike_e6 < 2*q1 - 3*(q3-q1)
+                        OR 2*spike_e6 > 2*q3 + 3*(q3-q1)
+                        AS BIGINT) AS is_outlier
+            FROM m CROSS JOIN qs
         """,
         # record_linkage (T6 RecordLink analog): the right side is derived
         # from customer inside the query (the embedding_near_dup planting

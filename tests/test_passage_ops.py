@@ -229,3 +229,38 @@ def test_heavy_hitters_exact_at_full_capacity(ray_session):
     assert (hh.err_bound == 0).all()
     assert hh.word.tolist() == tw.word.tolist()
     assert hh.est_count.tolist() == tw.n.tolist()
+
+
+def test_embedding_spike_outliers_planted(ray_session, tmp_path):
+    # 16 healthy unit vectors with spread mass (max component ~0.5-0.56)
+    # and ONE one-hot spike (max component 1.0): only the spike is flagged
+    from entity_deduplication_hack_main_ray.pipelines import ann
+
+    # healthy vectors: sign patterns of the flat unit vector, so every
+    # spike score is exactly 1/sqrt(8) (IQR = 0 -> the fence collapses to
+    # that value and only a genuinely different vector can be flagged)
+    vecs = []
+    for i in range(16):
+        v = np.full(8, 1.0 / np.sqrt(8.0))
+        signs = np.array([1 if (i >> b) & 1 else -1 for b in range(8)])
+        vecs.append((v * signs).astype(np.float32))
+    spike = np.zeros(8, np.float32)
+    spike[3] = 1.0
+    vecs.append(spike)
+    d = tmp_path / "emb"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(17), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    out = ann.embedding_spike_outliers(str(d)).set_index("vec_id")
+    assert out.loc[16, "is_outlier"] == 1
+    assert out.loc[16, "spike_e6"] == 1_000_000
+    assert (out.loc[:15, "is_outlier"] == 0).all()
