@@ -62,12 +62,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDER MATTERS: the round driver sweeps this dict IN ORDER and is
     # budget-bounded (50 CORRECTNESS rows per round). Layout: [1-49]
-    # 49 of the 52 oracle-backed queries (hash-checked; the six round-5
+    # 49 of the 53 oracle-backed queries (hash-checked; the seven round-5
     # continuation additions dedup_passages / dup_gram_fraction /
     # quality_deciles / redact_pii / pack_token_shards /
-    # embedding_spike_outliers are all first-time HASH rows — three
-    # repeat-green oracles rotated past the cut to make room, see the
-    # [51+] comment), [50] the single rotation slot:
+    # embedding_spike_outliers / corpus_diff are all first-time HASH
+    # rows — four repeat-green oracles rotated past the cut to make
+    # room, see the [51+] comment), [50] the single rotation slot:
     # minhash_lsh_dedup_docs, the one never-driver-checked query with no
     # hash-green family sibling (VERDICT r4 directive #1 balanced against
     # oracle priority), [51+] the two rotated-out repeat-green oracles,
@@ -96,7 +96,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_windows": relational.sliding_event_windows,
         "top3_orders_per_customer": relational.top3_orders_per_customer,
         "props_k_stats": relational.props_k_stats,
-        "priority_revenue": relational.priority_revenue,
         "event_type_pivot": relational.event_type_pivot,
         "customer_region_rollup": relational.customer_region_rollup,
         "user_event_lag": relational.user_event_lag,
@@ -134,21 +133,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": text_analysis.redact_pii,
         "pack_token_shards": text_analysis.pack_token_shards,
         "embedding_spike_outliers": ann.embedding_spike_outliers,
+        "corpus_diff": incremental.corpus_diff,
         # ---- rotation slot [50]: the one rows-only query with no prior
         # driver row AND no hash-green family sibling — the MinHash+LSH
         # end-to-end dedup chain (the north rule's core; signature
         # equality is probabilistic, so no SQL oracle can exist) -------------
         "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,
         # ---- past the budget cut [51+]: queries whose strongest evidence
-        # lives elsewhere. First the three SQL-oracled queries rotated OUT
-        # to make room for the six new first-time HASH rows — all were
+        # lives elsewhere. First the four SQL-oracled queries rotated OUT
+        # to make room for the seven new first-time HASH rows — all were
         # hash-green in CORRECTNESS_r04 and re-verify against their oracles
         # on every pytest session and in the BASELINE validate receipts:
         # customers_without_orders (a 0-row compare at sf0.01, the least
         # informative of all hash rows), distinct_event_types (machinery
-        # subsumed by the in-cut event_type_stats) and nation_region_counts
+        # subsumed by the in-cut event_type_stats), nation_region_counts
         # (a 5-row dimension count, machinery identical to the in-cut
-        # event_type_stats / supplier_nation_stats). Then the rows-only
+        # event_type_stats / supplier_nation_stats) and priority_revenue
+        # (grouped cent-sum, machinery triply covered in-cut by
+        # pricing_summary / segment_revenue / supplier_part_revenue).
+        # Then the rows-only
         # queries: simhash_dedup_docs' banding/clustering tail is shared
         # with the in-cut minhash chain and union-find-pinned in pytest;
         # doc_fingerprints is kernel-pinned; audio_frame_features is
@@ -158,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "distinct_event_types": relational.distinct_event_types,
         "nation_region_counts": relational.nation_region_counts,
+        "priority_revenue": relational.priority_revenue,
         "simhash_dedup_docs": text_dedup.simhash_dedup,
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "audio_frame_features": audio.audio_frame_features,
@@ -970,6 +974,31 @@ def oracle_sql() -> dict[str, str]:
                         OR 2*spike_e6 > 2*q3 + 3*(q3-q1)
                         AS BIGINT) AS is_outlier
             FROM m CROSS JOIN qs
+        """,
+        # corpus_diff: dataset-version diff by content fingerprint; version
+        # 2 is derived in-query (drop %10==0, modify %7==3, add %13==1
+        # under +1e6 — the record_linkage derivation pattern), so the
+        # oracle is a FULL OUTER JOIN with a text-equality CASE.
+        "corpus_diff": """
+            WITH old AS (SELECT doc_id, text FROM documents),
+            v2 AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 10 != 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 13 = 1
+            ),
+            j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                         o.text AS t_old, n.text AS t_new
+                  FROM old o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+            SELECT doc_id,
+                   CASE WHEN t_old IS NULL THEN 'added'
+                        WHEN t_new IS NULL THEN 'removed'
+                        WHEN t_old = t_new THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM j
         """,
         # record_linkage (T6 RecordLink analog): the right side is derived
         # from customer inside the query (the embedding_near_dup planting

@@ -200,3 +200,112 @@ def incremental_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     _, combined = incremental_dedup_pipeline(ckpt_dir, grow_dir, cfg)
     out = combined.to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff — the dataset-versioning primitive underneath
+# incremental ingestion: given two corpus versions, classify every doc_id
+# as added / removed / changed / unchanged by CONTENT (128-bit
+# fingerprints), so an ingestion run can process exactly the delta. The
+# driver-facing query derives version 2 from the corpus deterministically
+# (the record_linkage in-query-derivation pattern): drop doc_id % 10 == 0,
+# append " v2" to the text of doc_id % 7 == 3, add a copy of
+# doc_id % 13 == 1 under doc_id + 1_000_000.
+
+
+def corpus_diff(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
+    """Return ``(doc_id, status)`` for every doc_id present in either
+    version, status in {added, removed, changed, unchanged}.
+
+    Scale shape: ONE read produces BOTH sides' rows (version 2 is a
+    per-row deterministic derivation; with a real second corpus this is
+    two pruned reads), text is fingerprinted in the mapper, and only
+    40-byte ``(pkey, doc_id, side, h1, h2)`` rows ride the single
+    ``groupby(doc_id % P)`` exchange — the diff kernel is one lexsort +
+    boundary scan per partition. Text never shuffles; output streams.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions import text as tx
+    from ..functions.frames import ensure_cols
+
+    P = num_partitions
+
+    def rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = t["text"]
+        h1o, h2o = tx.content_fingerprint128(txt.to_pylist())
+        # version 2: drop %10==0, modify %7==3, add %13==1 under id+1e6
+        keep = ids % 10 != 0
+        mod = pc.binary_join_element_wise(
+            txt, pa.array(["v2"] * len(ids)), " "
+        )
+        txt2 = pc.if_else(pa.array(ids % 7 == 3), mod, txt)
+        h1m, h2m = tx.content_fingerprint128(
+            pa.chunked_array([txt2]).filter(pa.array(keep)).to_pylist()
+        )
+        add = ids % 13 == 1
+        side = np.concatenate(
+            [
+                np.zeros(len(ids), np.int64),          # old
+                np.ones(int(keep.sum()), np.int64),    # new (kept/modified)
+                np.ones(int(add.sum()), np.int64),     # new (added)
+            ]
+        )
+        all_ids = np.concatenate(
+            [ids, ids[keep], ids[add] + 1_000_000]
+        )
+        h1 = np.concatenate([h1o, h1m, h1o[add]])
+        h2 = np.concatenate([h2o, h2m, h2o[add]])
+        return pa.table(
+            {
+                "pkey": pa.array(
+                    (all_ids.view(np.uint64) % np.uint64(P)).astype(np.int64)
+                ),
+                "doc_id": pa.array(all_ids),
+                "side": pa.array(side),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+            }
+        )
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        d = g["doc_id"].to_numpy()
+        s = g["side"].to_numpy()
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        o = np.lexsort((s, d))
+        d, s, h1, h2 = d[o], s[o], h1[o], h2[o]
+        new_doc = np.ones(len(d), dtype=bool)
+        new_doc[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new_doc)
+        counts = np.diff(np.append(starts, len(d)))
+        uid = d[starts]
+        status = np.empty(len(starts), dtype=object)
+        both = counts == 2
+        solo = ~both
+        solo_new = solo & (s[starts] == 1)
+        status[solo & ~solo_new] = "removed"
+        status[solo_new] = "added"
+        # both present (old sorted first): changed iff fingerprints differ
+        i_old = starts[both]
+        same = (h1[i_old] == h1[i_old + 1]) & (h2[i_old] == h2[i_old + 1])
+        b_idx = np.flatnonzero(both)
+        status[b_idx[same]] = "unchanged"
+        status[b_idx[~same]] = "changed"
+        return pd.DataFrame({"doc_id": uid, "status": status})
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(rows, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(diff, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", status="object")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -78,6 +78,7 @@ CASES = [
                            "shard"]),
     ("heavy_hitter_words", ["word", "est_count", "err_bound", "n_total"]),
     ("embedding_spike_outliers", ["vec_id", "spike_e6", "is_outlier"]),
+    ("corpus_diff", ["doc_id", "status"]),
 ]
 # (customer_region_rollup is absent from CASES because SQL ROLLUP yields
 # ONE grand-total row even on empty input — pinned by its own test below.)

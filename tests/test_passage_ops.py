@@ -264,3 +264,34 @@ def test_embedding_spike_outliers_planted(ray_session, tmp_path):
     assert out.loc[16, "is_outlier"] == 1
     assert out.loc[16, "spike_e6"] == 1_000_000
     assert (out.loc[:15, "is_outlier"] == 0).all()
+
+
+def test_corpus_diff_crafted(ray_session, tmp_path):
+    # ids crafted to hit all four statuses under the in-query derivation
+    # (drop %10==0, modify %7==3, add %13==1 under +1e6):
+    #   20 -> removed (20%10==0); 3 -> changed (3%7==3);
+    #   1 -> unchanged AND source of added 1000001 (1%13==1); 5 -> unchanged
+    from entity_deduplication_hack_main_ray.pipelines import incremental as inc
+
+    sf = _write_docs(
+        tmp_path,
+        [(1, "alpha beta"), (3, "gamma delta"), (5, "epsilon"), (20, "zeta")],
+    )
+    out = inc.corpus_diff(sf).set_index("doc_id")["status"]
+    assert out.to_dict() == {
+        1: "unchanged",
+        3: "changed",
+        5: "unchanged",
+        20: "removed",
+        1000001: "added",
+    }
+
+
+def test_corpus_diff_partition_invariant(ray_session):
+    from entity_deduplication_hack_main_ray.pipelines import incremental as inc
+
+    a = inc.corpus_diff(SF001, num_partitions=3)
+    b = inc.corpus_diff(SF001, num_partitions=32)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a.status.unique()) == {"added", "removed", "changed",
+                                      "unchanged"}
