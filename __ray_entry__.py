@@ -977,18 +977,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # corpus_diff: dataset-version diff by content fingerprint; version
         # 2 is derived in-query (drop %10==0, modify %7==3, add %13==1
-        # under +1e6 — the record_linkage derivation pattern), so the
-        # oracle is a FULL OUTER JOIN with a text-equality CASE.
+        # under + MAX(doc_id)+1, a collision-free namespace — the
+        # record_linkage derivation pattern), so the oracle is a FULL
+        # OUTER JOIN with a text-equality CASE.
         "corpus_diff": """
-            WITH old AS (SELECT doc_id, text FROM documents),
+            WITH mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+            old AS (SELECT doc_id, text FROM documents),
             v2 AS (
               SELECT doc_id,
                      CASE WHEN doc_id % 7 = 3 THEN text || ' v2'
                           ELSE text END AS text
               FROM documents WHERE doc_id % 10 != 0
               UNION ALL
-              SELECT doc_id + 1000000 AS doc_id, text
-              FROM documents WHERE doc_id % 13 = 1
+              SELECT doc_id + off AS doc_id, text
+              FROM documents CROSS JOIN mx WHERE doc_id % 13 = 1
             ),
             j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                          o.text AS t_old, n.text AS t_new

@@ -995,68 +995,6 @@ def knn_graph(sf_dir: str, k: int = 3) -> pd.DataFrame:
 # rule shared with the DuckDB oracle.
 
 
-def _exact_quantiles_int64(
-    rows, col: str, qs: tuple[float, ...]
-) -> list[int] | None:
-    """Exact order statistics of an int64 column without a global sort —
-    the histogram-selection plan of ``relational.order_price_quantiles``
-    (min/max/count pass → fixed-width bucket histogram, one tiny groupby →
-    fetch only the buckets holding a requested rank; DuckDB QUANTILE_DISC
-    rule ``sorted[ceil(q*n)-1]``). Returns None on an empty column.
-    At 100 TB the exchanges are O(buckets), never O(rows)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    stats = rows.aggregate(Min(col), Max(col), Count())
-    if stats is None or not stats.get("count()"):
-        return None
-    lo, hi = int(stats[f"min({col})"]), int(stats[f"max({col})"])
-    n = int(stats["count()"])
-    width = max(1, (hi - lo + 1) // 65536)
-
-    def hist(t: pa.Table) -> pa.Table:
-        b = (t[col].to_numpy(zero_copy_only=False) - lo) // width
-        keys, counts = np.unique(b, return_counts=True)
-        return pa.table(
-            {
-                "bucket": pa.array(keys.astype(np.int64)),
-                "n_partial": pa.array(counts.astype(np.int64)),
-            }
-        )
-
-    hdf = (
-        rows.map_batches(hist, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("n_partial", alias_name="n"))
-        .to_pandas()
-        .sort_values("bucket")
-        .reset_index(drop=True)
-    )
-    cum = hdf["n"].cumsum().to_numpy()
-    ranks = np.array([max(0, int(np.ceil(q * n)) - 1) for q in qs])
-    need_idx = np.searchsorted(cum, ranks + 1, side="left")
-    need = np.array(sorted(set(hdf["bucket"].iloc[need_idx])), np.int64)
-    bucket_ref = ray.put(need)
-
-    def fetch(t: pa.Table) -> pa.Table:
-        v = t[col].to_numpy(zero_copy_only=False)
-        mask = np.isin((v - lo) // width, ray.get(bucket_ref))
-        return pa.table({col: pa.array(v[mask])})
-
-    vals = np.sort(
-        rows.map_batches(fetch, batch_format="pyarrow")
-        .to_pandas()[col]
-        .to_numpy()
-    )
-    bucket_of = (vals - lo) // width
-    out = []
-    for r in ranks:
-        bi = int(np.searchsorted(cum, r + 1, side="left"))
-        bstart = int(cum[bi - 1]) if bi else 0
-        b = int(hdf["bucket"].iloc[bi])
-        out.append(int(vals[bucket_of == b][r - bstart]))
-    return out
-
-
 def embedding_spike_outliers(sf_dir: str) -> pd.DataFrame:
     """Flag vectors whose spike score — ``max_i |v_i|``, exact in float64
     since no summation is involved — falls outside the Tukey fence
@@ -1085,8 +1023,10 @@ def embedding_spike_outliers(sf_dir: str) -> pd.DataFrame:
             }
         )
 
+    from .relational import exact_quantiles_int64
+
     rows = _emb(sf_dir).map_batches(spikes, batch_format="pyarrow").materialize()
-    q = _exact_quantiles_int64(rows, "spike_e6", (0.25, 0.75))
+    q = exact_quantiles_int64(rows, "spike_e6", (0.25, 0.75))
     if q is None:
         return typed_empty(vec_id="int64", spike_e6="int64", is_outlier="int64")
     q1, q3 = q

@@ -210,7 +210,8 @@ def incremental_dedup_clusters(sf_dir: str) -> pd.DataFrame:
 # driver-facing query derives version 2 from the corpus deterministically
 # (the record_linkage in-query-derivation pattern): drop doc_id % 10 == 0,
 # append " v2" to the text of doc_id % 7 == 3, add a copy of
-# doc_id % 13 == 1 under doc_id + 1_000_000.
+# doc_id % 13 == 1 under doc_id + (max doc_id + 1) — an id namespace
+# provably disjoint from the corpus at any scale.
 
 
 def corpus_diff(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
@@ -231,20 +232,41 @@ def corpus_diff(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
     from ..functions.frames import ensure_cols
 
     P = num_partitions
+    # Collision-free id namespace for the derived "added" docs: offset =
+    # global max doc_id + 1 (ONE tiny aggregate over the pruned id
+    # column; the oracle's MAX() CTE is the same scan). A fixed offset
+    # like 1e6 would collide with real ids at scale and silently corrupt
+    # the per-doc group cardinality the diff kernel relies on.
+    from ray.data.aggregate import Max
+
+    mx = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).aggregate(Max("doc_id"))
+    if mx is None or mx.get("max(doc_id)") is None:
+        return ensure_cols(pd.DataFrame(), doc_id="int64", status="object")
+    offset = int(mx["max(doc_id)"]) + 1
 
     def rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         txt = t["text"]
         h1o, h2o = tx.content_fingerprint128(txt.to_pylist())
-        # version 2: drop %10==0, modify %7==3, add %13==1 under id+1e6
+        # version 2: drop %10==0, modify %7==3, add %13==1 under id+offset
         keep = ids % 10 != 0
-        mod = pc.binary_join_element_wise(
-            txt, pa.array(["v2"] * len(ids)), " "
-        )
-        txt2 = pc.if_else(pa.array(ids % 7 == 3), mod, txt)
-        h1m, h2m = tx.content_fingerprint128(
-            pa.chunked_array([txt2]).filter(pa.array(keep)).to_pylist()
-        )
+        modk = (ids % 7 == 3)[keep]  # modified rows, in kept order
+        # new-side fingerprints: copy the old ones, re-hash ONLY the
+        # modified texts (~1/7 of the corpus) — not every kept document
+        h1m, h2m = h1o[keep].copy(), h2o[keep].copy()
+        kept_txt = txt.filter(pa.array(keep))
+        if modk.any():
+            mtxt = pc.binary_join_element_wise(
+                kept_txt.filter(pa.array(modk)),
+                pa.array(["v2"] * int(modk.sum())),
+                " ",
+            )
+            h1mm, h2mm = tx.content_fingerprint128(mtxt.to_pylist())
+            pos = np.flatnonzero(modk)
+            h1m[pos] = h1mm
+            h2m[pos] = h2mm
         add = ids % 13 == 1
         side = np.concatenate(
             [
@@ -254,7 +276,7 @@ def corpus_diff(sf_dir: str, num_partitions: int = 32) -> pd.DataFrame:
             ]
         )
         all_ids = np.concatenate(
-            [ids, ids[keep], ids[add] + 1_000_000]
+            [ids, ids[keep], ids[add] + offset]
         )
         h1 = np.concatenate([h1o, h1m, h1o[add]])
         h2 = np.concatenate([h2o, h2m, h2o[add]])

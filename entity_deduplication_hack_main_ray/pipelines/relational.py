@@ -874,24 +874,77 @@ def approx_user_counts(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def exact_quantiles_int64(
+    rows, col: str, qs: tuple[float, ...]
+) -> list[int] | None:
+    """Exact order statistics of an int64 Dataset column without a global
+    sort — the histogram-selection plan shared by
+    ``order_price_quantiles`` (here) and ``ann.embedding_spike_outliers``:
+    min/max/count pass → fixed-width bucket histogram pre-aggregated per
+    batch with ONE tiny groupby (≤ 65536 rows cross the exchange) → fetch
+    only the buckets holding a requested order statistic (Arrow is_in
+    filter) → driver-side sort of those few buckets, indexed at
+    ``ceil(q*n) - 1`` — DuckDB's QUANTILE_DISC selection rule, verified
+    empirically, so oracles hash-match exactly. Returns None on an empty
+    column. At 100 TB the exchanges are O(buckets), never O(rows)."""
+    stats = rows.aggregate(Min(col), Max(col), Count())
+    if stats is None or not stats.get("count()"):
+        return None
+    lo, hi = int(stats[f"min({col})"]), int(stats[f"max({col})"])
+    n = int(stats["count()"])
+    width = max(1, (hi - lo + 1) // 65536)
+
+    def hist(t: pa.Table) -> pa.Table:
+        b = (t[col].to_numpy(zero_copy_only=False) - lo) // width
+        keys, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.astype(np.int64)),
+                "n_partial": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    hdf = (
+        rows.map_batches(hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_partial", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    cum = hdf["n"].cumsum().to_numpy()
+    ranks = np.array([max(0, int(np.ceil(q * n)) - 1) for q in qs])
+    need_idx = np.searchsorted(cum, ranks + 1, side="left")
+    need = np.array(sorted(set(hdf["bucket"].iloc[need_idx])), np.int64)
+    bucket_ref = ray.put(need)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        mask = np.isin((v - lo) // width, ray.get(bucket_ref))
+        return pa.table({col: pa.array(v[mask])})
+
+    vals = np.sort(
+        rows.map_batches(fetch, batch_format="pyarrow")
+        .to_pandas()[col]
+        .to_numpy()
+    )
+    bucket_of = (vals - lo) // width
+    out = []
+    for r in ranks:
+        bi = int(np.searchsorted(cum, r + 1, side="left"))
+        bstart = int(cum[bi - 1]) if bi else 0
+        b = int(hdf["bucket"].iloc[bi])
+        out.append(int(vals[bucket_of == b][r - bstart]))
+    return out
+
+
 def order_price_quantiles(
     sf_dir: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
 ) -> pd.DataFrame:
-    """EXACT distributed quantiles without a global sort — the classic
-    histogram-selection plan for 10^12-row columns:
-
-    pass 1  Min/Max/Count aggregate on the pruned integer-cents column;
-    pass 2  fixed-width bucket histogram, pre-aggregated per batch, ONE
-            tiny groupby (≤ 65536 rows cross the exchange);
-    pass 3  only the buckets containing a requested order statistic are
-            fetched (Arrow is_in filter — a few buckets of rows), sorted
-            driver-side, and indexed at ``ceil(q·n)−1`` — DuckDB's
-            QUANTILE_DISC selection rule, verified empirically, so the
-            oracle hash-matches exactly.
-
-    Three passes over one int64 column instead of one all-to-all sort of
-    the whole table; at 100 TB the exchanges are O(buckets), not O(rows).
-    """
+    """EXACT distributed quantiles of order price cents — one pruned-read
+    map to an int64 column, then the shared ``exact_quantiles_int64``
+    histogram-selection plan (three passes, O(buckets) exchanges — see its
+    docstring for the 10^12-row argument)."""
     ds = _t(sf_dir, "orders", ["o_totalprice"])
 
     def cents(t: pa.Table) -> pa.Table:
@@ -906,66 +959,15 @@ def order_price_quantiles(
         )
 
     col = ds.map_batches(cents, batch_format="pyarrow")
-    stats = col.aggregate(
-        Min("price_cents"), Max("price_cents"), Count()
-    )
-    if stats is None or stats.get("count()") in (None, 0):
+    vals = exact_quantiles_int64(col, "price_cents", qs)
+    if vals is None:
         return typed_empty(q_bp="int64", price_cents="int64")
-    lo, hi = int(stats["min(price_cents)"]), int(stats["max(price_cents)"])
-    n = int(stats["count()"])
-    width = max(1, (hi - lo + 1) // 65536)
-
-    def hist(t: pa.Table) -> pa.Table:
-        b = (t["price_cents"].to_numpy(zero_copy_only=False) - lo) // width
-        keys, counts = np.unique(b, return_counts=True)
-        return pa.table(
-            {
-                "bucket": pa.array(keys.astype(np.int64)),
-                "n_partial": pa.array(counts.astype(np.int64)),
-            }
-        )
-
-    hdf = (
-        col.map_batches(hist, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Sum("n_partial", alias_name="n"))
-        .to_pandas()
-        .sort_values("bucket")
-        .reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "q_bp": [int(round(q * 10000)) for q in qs],
+            "price_cents": vals,
+        }
     )
-    cum = hdf["n"].cumsum().to_numpy()
-    # target ranks per DuckDB QUANTILE_DISC: sorted[ceil(q*n) - 1]
-    ranks = np.array([max(0, int(np.ceil(q * n)) - 1) for q in qs])
-    need_idx = np.searchsorted(cum, ranks + 1, side="left")
-    need_buckets = sorted(set(hdf["bucket"].iloc[need_idx]))
-    bucket_ref = ray.put(np.array(need_buckets, dtype=np.int64))
-
-    def fetch(t: pa.Table) -> pa.Table:
-        v = t["price_cents"].to_numpy(zero_copy_only=False)
-        b = (v - lo) // width
-        mask = np.isin(b, ray.get(bucket_ref))
-        return pa.table({"price_cents": pa.array(v[mask])})
-
-    vals = np.sort(
-        col.map_batches(fetch, batch_format="pyarrow")
-        .to_pandas()["price_cents"]
-        .to_numpy()
-    )
-    # rank of each fetched value's bucket start = cum before that bucket
-    bucket_of = (vals - lo) // width
-    out_rows = []
-    for q, r in zip(qs, ranks):
-        bi = int(np.searchsorted(cum, r + 1, side="left"))
-        bstart = int(cum[bi - 1]) if bi else 0  # global rank of bucket head
-        b = int(hdf["bucket"].iloc[bi])
-        inbucket = vals[bucket_of == b]
-        out_rows.append(
-            {
-                "q_bp": int(round(q * 10000)),
-                "price_cents": int(inbucket[r - bstart]),
-            }
-        )
-    return pd.DataFrame(out_rows)
 
 
 def brand_part_stats(sf_dir: str) -> pd.DataFrame:

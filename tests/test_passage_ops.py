@@ -268,9 +268,9 @@ def test_embedding_spike_outliers_planted(ray_session, tmp_path):
 
 def test_corpus_diff_crafted(ray_session, tmp_path):
     # ids crafted to hit all four statuses under the in-query derivation
-    # (drop %10==0, modify %7==3, add %13==1 under +1e6):
+    # (drop %10==0, modify %7==3, add %13==1 under + max(doc_id)+1 = 21):
     #   20 -> removed (20%10==0); 3 -> changed (3%7==3);
-    #   1 -> unchanged AND source of added 1000001 (1%13==1); 5 -> unchanged
+    #   1 -> unchanged AND source of added 22 (1%13==1); 5 -> unchanged
     from entity_deduplication_hack_main_ray.pipelines import incremental as inc
 
     sf = _write_docs(
@@ -283,7 +283,26 @@ def test_corpus_diff_crafted(ray_session, tmp_path):
         3: "changed",
         5: "unchanged",
         20: "removed",
-        1000001: "added",
+        22: "added",
+    }
+
+
+def test_corpus_diff_no_id_collision(ray_session, tmp_path):
+    # review-finding regression: a fixed +1e6 offset would collide a real
+    # doc_id 1000001 with the copy derived from doc_id 1. The max+1 offset
+    # keeps the namespaces disjoint: 1000001 stays classified on its own
+    # row and the derived copy lands above the corpus range.
+    from entity_deduplication_hack_main_ray.pipelines import incremental as inc
+
+    sf = _write_docs(
+        tmp_path, [(1, "alpha"), (1000001, "omega")]
+    )
+    out = inc.corpus_diff(sf).set_index("doc_id")["status"]
+    # offset = 1000002: added copy of id 1 -> 1000003
+    assert out.to_dict() == {
+        1: "unchanged",
+        1000001: "unchanged",
+        1000003: "added",
     }
 
 
