@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "audio_frame_features": audio.audio_frame_features,
         "approx_user_counts": relational.approx_user_counts,
+        # decontaminate_docs_bloom: Bloom-filter scale path of the
+        # hash-green exact decontaminate_docs — approximate by design
+        # (one-sided FP; superset-of-exact-drops pinned in pytest)
+        "decontaminate_docs_bloom": text_dedup.decontaminate_docs_bloom,
         # heavy_hitter_words: Misra-Gries sketch — approximate by design
         # (rows-only; its est<=true<=est+err invariants and the
         # capacity>=vocab degeneracy to the hash-green top_words are

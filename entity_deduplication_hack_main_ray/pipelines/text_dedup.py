@@ -1928,3 +1928,131 @@ def dedup_passages(
         rep_chunk_idx="int64", is_dup="int64",
     )
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def _bloom_positions(h1: np.ndarray, h2: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) Bloom probe positions by Kirsch-Mitzenmacher double hashing
+    ``pos_i = (h1 + i*h2) mod m`` — k derived probes from the window's two
+    independent 64-bit hashes, fully vectorized (uint64 wraparound is the
+    intended modular arithmetic)."""
+    i = np.arange(k, dtype=np.uint64)
+    return (
+        (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+    ).astype(np.int64)
+
+
+def decontaminate_docs_bloom(
+    sf_dir: str,
+    eval_source: str = "src0",
+    L: int = 40,
+    seed: int = 7,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> pd.DataFrame:
+    """Bloom-filter sibling of ``decontaminate_docs`` — the broadcast-size
+    scale path: the eval set's distinct window hashes become an
+    ``m_bits``-bit Bloom filter (``m_bits/8`` bytes broadcast once,
+    CONSTANT in the eval-suite size, vs 16 bytes per distinct window for
+    the exact sorted-hash probe — the 10^9-window eval-suite regime), and
+    the train side probes k Kirsch-Mitzenmacher double hashes per window.
+
+    Error is ONE-SIDED, in the safe direction for decontamination: every
+    window the exact filter flags probes positive here too (its bits were
+    all set), so every document the exact sibling DROPS is dropped here —
+    no false negatives, pytest-pinned as a superset property. A clean
+    document can be dropped spuriously with per-window probability
+    ``(1 - e^(-k*n/m))^k``. Deterministic: bit-OR accumulation is
+    order-free, positions are pure functions of the window hashes.
+
+    Output schema matches the exact sibling — one row per non-eval doc,
+    ``(doc_id, n_hits, keep)`` with ``n_hits`` >= the exact count and
+    ``keep = 1`` iff no window probes positive.
+    """
+    from ..functions.hashing import char_ngram_hash2_stream
+
+    n_words = (m_bits + 63) // 64
+
+    def eval_bits(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.equal(t["source"], eval_source))
+        texts = [s or "" for s in tt["text"].to_pylist()]
+        h1, h2, _ = char_ngram_hash2_stream(texts, L, seed)
+        words = np.zeros(n_words, dtype=np.uint64)
+        if len(h1):
+            pos = _bloom_positions(h1, h2, m_bits, k).ravel()
+            np.bitwise_or.at(
+                words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+            )
+        return pa.table({"word": pa.array(words.view(np.int64))})
+
+    # per-batch partial filters OR-merge on the driver (associative and
+    # commutative, so batch order cannot change the result); at cluster
+    # scale this is a tree-reduce of fixed-size bit arrays
+    pdf = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text", "source"],
+            filter=pc.field("source") == eval_source,
+        )
+        .map_batches(eval_bits, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # zero-row corpus: Ray drops the schema with the rows — the filter is
+    # then all-zeros and every document keeps
+    parts = (
+        pdf["word"].to_numpy(dtype=np.int64, copy=True).view(np.uint64)
+        if len(pdf)
+        else np.zeros(0, dtype=np.uint64)
+    )
+    bits = np.zeros(n_words, dtype=np.uint64)
+    for s in range(0, len(parts), n_words):
+        chunk = parts[s : s + n_words]
+        bits[: len(chunk)] |= chunk
+    bits_ref = ray.put(bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.not_equal(t["source"], eval_source))
+        bw = ray.get(bits_ref)
+        texts = [s or "" for s in tt["text"].to_pylist()]
+        h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
+        cnt = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(texts)), cnt)
+        # per-doc distinct windows (mirrors the exact sibling's n_hits
+        # contract: count DISTINCT leaked windows)
+        order = np.lexsort((h2, h1, doc_idx))
+        d, a, b = doc_idx[order], h1[order], h2[order]
+        first = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            first[1:] = (
+                (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            )
+        d, a, b = d[first], a[first], b[first]
+        if len(d):
+            pos = _bloom_positions(a, b, m_bits, k)
+            probe_bits = (
+                bw[pos >> 6] >> (pos & 63).astype(np.uint64)
+            ) & np.uint64(1)
+            hit = probe_bits.all(axis=1)
+        else:
+            hit = np.zeros(0, dtype=bool)
+        n_hits = np.bincount(d[hit], minlength=len(texts)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": tt["doc_id"],
+                "n_hits": pa.array(n_hits),
+                "keep": pa.array((n_hits == 0).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+            filter=pc.field("source") != eval_source,
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", n_hits="int64", keep="int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_hits", "keep"]
+    ]

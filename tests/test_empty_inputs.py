@@ -79,6 +79,7 @@ CASES = [
     ("heavy_hitter_words", ["word", "est_count", "err_bound", "n_total"]),
     ("embedding_spike_outliers", ["vec_id", "spike_e6", "is_outlier"]),
     ("corpus_diff", ["doc_id", "status"]),
+    ("decontaminate_docs_bloom", ["doc_id", "n_hits", "keep"]),
 ]
 # (customer_region_rollup is absent from CASES because SQL ROLLUP yields
 # ONE grand-total row even on empty input — pinned by its own test below.)

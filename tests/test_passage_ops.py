@@ -314,3 +314,73 @@ def test_corpus_diff_partition_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert set(a.status.unique()) == {"added", "removed", "changed",
                                       "unchanged"}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 500), st.integers(1, 20))
+    @settings(max_examples=80, deadline=None)
+    def test_ntile_property(total, k):
+        """_ntile must reproduce SQL NTILE for every (total, k): bucket
+        sizes differ by at most 1, the first total%k buckets are the big
+        ones, buckets are contiguous and non-decreasing in rank."""
+        ranks = np.arange(total)
+        dec = ta._ntile(ranks, total, k)
+        if total == 0:
+            assert len(dec) == 0
+            return
+        assert dec[0] == 1 and dec[-1] == min(k, total)
+        sizes = pd.Series(dec).value_counts().sort_index()
+        big, rem = total // k + 1, total % k
+        for b, n in sizes.items():
+            assert n == (big if b <= rem else big - 1) or k > total
+        assert (np.diff(dec) >= 0).all()
+
+    @given(
+        st.lists(st.integers(1, 1000), min_size=0, max_size=60),
+        st.integers(1, 10),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_mg_compress_property(counts, capacity):
+        """Misra-Gries invariants for ANY input: at most `capacity`
+        counters survive, every surviving count shrinks by exactly thr,
+        every dropped word had count <= thr, and est <= true <=
+        est + thr for every word."""
+        counts = np.array(counts, dtype=np.int64)
+        words = np.array([f"w{i}" for i in range(len(counts))], object)
+        w2, c2, thr = ta._mg_compress(words, counts, capacity)
+        assert len(w2) <= capacity
+        surv = dict(zip(w2, c2))
+        for w, c in zip(words, counts):
+            est = surv.get(w, 0)
+            assert est <= c <= est + thr
+            if w in surv:
+                assert surv[w] == c - thr
+            else:
+                assert c <= thr
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+def test_decontaminate_bloom_one_sided(ray_session):
+    # Bloom decontamination may over-drop (false positive) but NEVER
+    # under-drop: every doc the exact filter drops is dropped here, and
+    # n_hits is a pointwise upper bound. Deterministic across runs.
+    ex = td.decontaminate_docs(SF001).set_index("doc_id")
+    bl = td.decontaminate_docs_bloom(SF001).set_index("doc_id")
+    assert list(ex.index) == list(bl.index)
+    assert ((ex.keep == 0) <= (bl.keep == 0)).all()  # no false negatives
+    assert (bl.n_hits >= ex.n_hits).all()
+    assert (ex.keep == 0).sum() > 0  # non-vacuous: real leaks exist
+    bl2 = td.decontaminate_docs_bloom(SF001).set_index("doc_id")
+    pd.testing.assert_frame_equal(bl.reset_index(), bl2.reset_index())
+
+
+def test_decontaminate_bloom_exact_at_large_m(ray_session):
+    # with m >> k*n the FP probability collapses: bloom == exact
+    ex = td.decontaminate_docs(SF001)
+    bl = td.decontaminate_docs_bloom(SF001, m_bits=1 << 26)
+    pd.testing.assert_frame_equal(ex, bl)
