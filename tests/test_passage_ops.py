@@ -384,3 +384,25 @@ def test_decontaminate_bloom_exact_at_large_m(ray_session):
     ex = td.decontaminate_docs(SF001)
     bl = td.decontaminate_docs_bloom(SF001, m_bits=1 << 26)
     pd.testing.assert_frame_equal(ex, bl)
+
+
+def test_coverage_ledger_matches_registry():
+    """Doc-drift guard: every explicitly numbered `| N | name |` row in
+    COVERAGE.md's driver-sweep ledger must name the query actually at
+    position N of __ray_entry__.queries() (1-based), and the advertised
+    total must equal the registry size."""
+    import re
+
+    import __ray_entry__ as em
+
+    names = list(em.queries())
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"verification ledger \(all (\d+) registered queries\)", text)
+    assert m and int(m.group(1)) == len(names)
+    rows = re.findall(r"^\| (\d+) \| ([A-Za-z0-9_]+)", text, re.M)
+    assert rows, "ledger rows not found"
+    for num, name in rows:
+        assert names[int(num) - 1] == name, (
+            f"ledger row {num} says {name!r} but registry has "
+            f"{names[int(num) - 1]!r}"
+        )
