@@ -62,12 +62,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ORDER MATTERS: the round driver sweeps this dict IN ORDER and is
     # budget-bounded (50 CORRECTNESS rows per round). Layout: [1-49]
-    # 49 of the 53 oracle-backed queries (hash-checked; the seven round-5
+    # 49 of the 54 oracle-backed queries (hash-checked; the eight round-5
     # continuation additions dedup_passages / dup_gram_fraction /
     # quality_deciles / redact_pii / pack_token_shards /
-    # embedding_spike_outliers / corpus_diff are all first-time HASH
-    # rows — four repeat-green oracles rotated past the cut to make
-    # room, see the [51+] comment), [50] the single rotation slot:
+    # embedding_spike_outliers / corpus_diff / curate_corpus are all
+    # first-time HASH rows — five repeat-green oracles rotated past the
+    # cut to make room, see the [51+] comment), [50] the single rotation
+    # slot:
     # minhash_lsh_dedup_docs, the one never-driver-checked query with no
     # hash-green family sibling (VERDICT r4 directive #1 balanced against
     # oracle priority), [51+] the two rotated-out repeat-green oracles,
@@ -83,7 +84,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": relational.segment_revenue,
         "top_order_per_customer": relational.top_order_per_customer,
         "event_type_stats": relational.event_type_stats,
-        "daily_order_totals": relational.daily_order_totals,
         "hourly_user_windows": relational.hourly_user_windows,
         "user_sessions": relational.user_sessions,
         "events_asof_join": relational.events_asof_join,
@@ -134,14 +134,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_token_shards": text_analysis.pack_token_shards,
         "embedding_spike_outliers": ann.embedding_spike_outliers,
         "corpus_diff": incremental.corpus_diff,
+        "curate_corpus": text_dedup.curate_corpus,
         # ---- rotation slot [50]: the one rows-only query with no prior
         # driver row AND no hash-green family sibling — the MinHash+LSH
         # end-to-end dedup chain (the north rule's core; signature
         # equality is probabilistic, so no SQL oracle can exist) -------------
         "minhash_lsh_dedup_docs": text_dedup.minhash_lsh_dedup,
         # ---- past the budget cut [51+]: queries whose strongest evidence
-        # lives elsewhere. First the four SQL-oracled queries rotated OUT
-        # to make room for the seven new first-time HASH rows — all were
+        # lives elsewhere. First the five SQL-oracled queries rotated OUT
+        # to make room for the eight new first-time HASH rows — all were
         # hash-green in CORRECTNESS_r04 and re-verify against their oracles
         # on every pytest session and in the BASELINE validate receipts:
         # customers_without_orders (a 0-row compare at sf0.01, the least
@@ -150,7 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a 5-row dimension count, machinery identical to the in-cut
         # event_type_stats / supplier_nation_stats) and priority_revenue
         # (grouped cent-sum, machinery triply covered in-cut by
-        # pricing_summary / segment_revenue / supplier_part_revenue).
+        # pricing_summary / segment_revenue / supplier_part_revenue) and
+        # daily_order_totals (tumbling window; the §2.7 family keeps
+        # hourly_user_windows / sliding / sessions in-cut).
         # Then the rows-only
         # queries: simhash_dedup_docs' banding/clustering tail is shared
         # with the in-cut minhash chain and union-find-pinned in pytest;
@@ -162,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "nation_region_counts": relational.nation_region_counts,
         "priority_revenue": relational.priority_revenue,
+        "daily_order_totals": relational.daily_order_totals,
         "simhash_dedup_docs": text_dedup.simhash_dedup,
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "audio_frame_features": audio.audio_frame_features,
@@ -1005,6 +1009,88 @@ def oracle_sql() -> dict[str, str]:
                         WHEN t_old = t_new THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM j
+        """,
+        # curate_corpus: the composed end-to-end curation DAG — every CTE
+        # below is the (independently hash-green) oracle fragment of its
+        # stage: gopher_repetition's keep rule, decontaminate_docs'
+        # substring semi-join, leakage_free_split's Knuth mixer (survivors
+        # are their own group representatives), pack_token_shards' window
+        # SUM per (split, doc_id range).
+        "curate_corpus": r"""
+            WITH noneval AS (SELECT doc_id, text FROM documents
+                             WHERE source <> 'src0'),
+            w AS (SELECT doc_id,
+                         UNNEST(STRING_SPLIT(COALESCE(text,''),' ')) AS word
+                  FROM noneval),
+            wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1,2),
+            agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                           CAST(MAX(c) AS BIGINT) AS top_word_n
+                    FROM wc GROUP BY 1),
+            t2 AS (SELECT doc_id, STRING_SPLIT(COALESCE(text,''),' ') AS ws
+                   FROM noneval),
+            bg AS (SELECT doc_id,
+                          UNNEST([ws[i] || ' ' || ws[i+1]
+                                  FOR i IN GENERATE_SERIES(1, LEN(ws)-1)])
+                            AS b
+                   FROM t2),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1,2),
+            bagg AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+                     FROM bc GROUP BY 1),
+            m AS (SELECT a.doc_id, n_words,
+                         CAST(FLOOR(CAST(n_words - n_distinct_words AS DOUBLE)
+                              / n_words * 1000000 + 0.5) AS BIGINT)
+                           AS dup_word_frac_e6,
+                         CAST(FLOOR(CAST(top_word_n AS DOUBLE)
+                              / n_words * 1000000 + 0.5) AS BIGINT)
+                           AS top_word_frac_e6,
+                         CASE WHEN n_words <= 1 THEN 0 ELSE
+                           CAST(FLOOR(CAST(COALESCE(top_bigram_n,0) AS DOUBLE)
+                                / (n_words - 1) * 1000000 + 0.5) AS BIGINT)
+                         END AS top_bigram_frac_e6
+                  FROM agg a LEFT JOIN bagg b USING (doc_id)),
+            gq AS (SELECT doc_id FROM m
+                   WHERE n_words >= 20 AND dup_word_frac_e6 <= 550000
+                     AND top_word_frac_e6 <= 200000
+                     AND top_bigram_frac_e6 <= 120000),
+            ev AS (SELECT DISTINCT sub FROM (
+                    SELECT UNNEST([SUBSTR(text, i, 40)
+                                   FOR i IN GENERATE_SERIES(1, LEN(text)-39)])
+                           AS sub
+                    FROM documents WHERE source = 'src0')),
+            tr AS (SELECT doc_id,
+                          UNNEST([SUBSTR(text, i, 40)
+                                  FOR i IN GENERATE_SERIES(1, LEN(text)-39)])
+                            AS sub
+                   FROM noneval),
+            leaky AS (SELECT DISTINCT t.doc_id
+                      FROM tr t JOIN ev e ON t.sub = e.sub),
+            s0 AS (SELECT n.doc_id, n.text FROM noneval n
+                   WHERE n.doc_id IN (SELECT doc_id FROM gq)
+                     AND n.doc_id NOT IN (SELECT doc_id FROM leaky)),
+            r AS (SELECT doc_id, text,
+                         MIN(doc_id) OVER (PARTITION BY text) AS rep
+                  FROM s0),
+            s AS (SELECT doc_id,
+                         CAST(LEN(REGEXP_EXTRACT_ALL(text, '\S+')) AS BIGINT)
+                           AS n_tokens
+                  FROM r WHERE doc_id = rep),
+            sp AS (SELECT doc_id, n_tokens,
+                   CASE WHEN ((CAST(doc_id AS HUGEINT)*2654435761)
+                              % 18446744073709551616) % 100 < 80 THEN 'train'
+                        WHEN ((CAST(doc_id AS HUGEINT)*2654435761)
+                              % 18446744073709551616) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+                   FROM s),
+            o AS (SELECT doc_id, n_tokens, split,
+                  CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY split, doc_id // 1000 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS tok_offset
+                  FROM sp)
+            SELECT doc_id, n_tokens, split, tok_offset,
+                   CAST(tok_offset // 256 AS BIGINT) AS shard
+            FROM o
         """,
         # record_linkage (T6 RecordLink analog): the right side is derived
         # from customer inside the query (the embedding_near_dup planting

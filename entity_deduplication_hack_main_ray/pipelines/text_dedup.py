@@ -1735,6 +1735,75 @@ def _member128(
     return out
 
 
+def _eval_window_hashes(
+    sf_dir: str, eval_source: str, L: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted distinct dual 64-bit window hashes of the eval source's
+    documents (the broadcast side of decontamination) — extracted from
+    ``decontaminate_docs`` so ``curate_corpus`` shares it verbatim.
+    Predicate pushdown: only eval row groups leave storage (the kernel
+    re-filters, so the pushdown is an optimization, not a correctness
+    dependency)."""
+    from ..functions.hashing import char_ngram_hash2_stream
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.equal(t["source"], eval_source))
+        texts = [s or "" for s in tt["text"].to_pylist()]
+        h1, h2, _ = char_ngram_hash2_stream(texts, L, seed)
+        if len(h1):
+            order = np.lexsort((h2, h1))
+            h1, h2 = h1[order], h2[order]
+            first = np.ones(len(h1), dtype=bool)
+            first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+            h1, h2 = h1[first], h2[first]
+        return pa.table(
+            {"h1": pa.array(h1.view(np.int64)), "h2": pa.array(h2.view(np.int64))}
+        )
+
+    ev = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["text", "source"],
+            filter=pc.field("source") == eval_source,
+        )
+        .map_batches(eval_hashes, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ev = ensure_cols(ev, h1="int64", h2="int64")  # empty-input schema guard
+    e1 = ev["h1"].to_numpy(dtype=np.int64, copy=True).view(np.uint64)
+    e2 = ev["h2"].to_numpy(dtype=np.int64, copy=True).view(np.uint64)
+    order = np.lexsort((e2, e1))
+    e1, e2 = e1[order], e2[order]
+    if len(e1):
+        first = np.ones(len(e1), dtype=bool)
+        first[1:] = (e1[1:] != e1[:-1]) | (e2[1:] != e2[:-1])
+        e1, e2 = e1[first], e2[first]
+    return e1, e2
+
+
+def _distinct_window_hits(
+    texts: list[str], ev1: np.ndarray, ev2: np.ndarray, L: int, seed: int
+) -> np.ndarray:
+    """Per-text count of DISTINCT L-char windows present in the sorted
+    eval hash set — the probe kernel shared by ``decontaminate_docs`` and
+    ``curate_corpus`` (vectorized binary search, no exchange)."""
+    from ..functions.hashing import char_ngram_hash2_stream
+
+    h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
+    cnt = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(texts)), cnt)
+    order = np.lexsort((h2, h1, doc_idx))
+    d, a, b = doc_idx[order], h1[order], h2[order]
+    first = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        first[1:] = (
+            (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        )
+    d, a, b = d[first], a[first], b[first]
+    hit = _member128(a, b, ev1, ev2)
+    return np.bincount(d[hit], minlength=len(texts)).astype(np.int64)
+
+
 def decontaminate_docs(
     sf_dir: str,
     eval_source: str = "src0",
@@ -1765,65 +1834,14 @@ def decontaminate_docs(
     """
     import ray
 
-    from ..functions.hashing import char_ngram_hash2_stream
-
-    def eval_hashes(t: pa.Table) -> pa.Table:
-        tt = t.filter(pc.equal(t["source"], eval_source))
-        texts = [s or "" for s in tt["text"].to_pylist()]
-        h1, h2, _ = char_ngram_hash2_stream(texts, L, seed)
-        if len(h1):
-            order = np.lexsort((h2, h1))
-            h1, h2 = h1[order], h2[order]
-            first = np.ones(len(h1), dtype=bool)
-            first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
-            h1, h2 = h1[first], h2[first]
-        return pa.table(
-            {"h1": pa.array(h1.view(np.int64)), "h2": pa.array(h2.view(np.int64))}
-        )
-
-    # predicate pushdown: only eval row groups leave storage (the kernel
-    # re-filters, so the pushdown is an optimization, not a correctness
-    # dependency)
-    ev = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet",
-            columns=["text", "source"],
-            filter=pc.field("source") == eval_source,
-        )
-        .map_batches(eval_hashes, batch_format="pyarrow")
-        .to_pandas()
-    )
-    ev = ensure_cols(ev, h1="int64", h2="int64")  # empty-input schema guard
-    e1 = ev["h1"].to_numpy(dtype=np.int64, copy=True).view(np.uint64)
-    e2 = ev["h2"].to_numpy(dtype=np.int64, copy=True).view(np.uint64)
-    order = np.lexsort((e2, e1))
-    e1, e2 = e1[order], e2[order]
-    if len(e1):
-        first = np.ones(len(e1), dtype=bool)
-        first[1:] = (e1[1:] != e1[:-1]) | (e2[1:] != e2[:-1])
-        e1, e2 = e1[first], e2[first]
+    e1, e2 = _eval_window_hashes(sf_dir, eval_source, L, seed)
     ev_ref = ray.put((e1, e2))
 
     def probe(t: pa.Table) -> pa.Table:
         tt = t.filter(pc.not_equal(t["source"], eval_source))
         ev1, ev2 = ray.get(ev_ref)
         texts = [s or "" for s in tt["text"].to_pylist()]
-        h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
-        cnt = np.diff(offsets)
-        doc_idx = np.repeat(np.arange(len(texts)), cnt)
-        # per-doc distinct windows (n_hits counts DISTINCT leaked windows)
-        order = np.lexsort((h2, h1, doc_idx))
-        d, a, b = doc_idx[order], h1[order], h2[order]
-        first = np.ones(len(d), dtype=bool)
-        if len(d) > 1:
-            first[1:] = (
-                (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-            )
-        d, a, b = d[first], a[first], b[first]
-        hit = _member128(a, b, ev1, ev2)
-        n_hits = np.bincount(
-            d[hit], minlength=len(texts)
-        ).astype(np.int64)
+        n_hits = _distinct_window_hits(texts, ev1, ev2, L, seed)
         return pa.table(
             {
                 "doc_id": tt["doc_id"],
@@ -2055,4 +2073,146 @@ def decontaminate_docs_bloom(
     out = ensure_cols(out, doc_id="int64", n_hits="int64", keep="int64")
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "n_hits", "keep"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation — the composition a real training-data run
+# executes as ONE job: quality filter (Gopher repetition) + eval-set
+# decontamination fused into a single streaming pass, exact dedup on the
+# survivors, leakage-free split assignment, token-offset sharding. Every
+# stage reuses a kernel that is independently DuckDB-hash-green, and the
+# composed pipeline carries its own composed oracle.
+
+
+def curate_corpus(
+    sf_dir: str,
+    eval_source: str = "src0",
+    L: int = 40,
+    seed: int = 7,
+    budget: int = 256,
+    part_size: int = 1000,
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """The full curation DAG over ``documents`` in one pipeline. Stages,
+    in order (each survivor set feeds the next):
+
+    1. drop the eval source's own docs;
+    2. Gopher repetition filter (``text_analysis._repetition_batch`` —
+       the hash-green `gopher_repetition` keep rule);
+    3. eval decontamination (`decontaminate_docs`' broadcast probe);
+    4. exact dedup — keep the min doc_id per exact text among survivors
+       (`_fp128` contract: 128-bit fingerprints, text never shuffles);
+    5. leakage-free split (`leakage_free_split`'s Knuth mixer on the
+       representative id — survivors ARE their groups' representatives);
+    6. token-offset sharding within (split, doc_id-range) partitions
+       (`pack_token_shards`' rule per split).
+
+    Returns ``(doc_id, n_tokens, split, tok_offset, shard)`` for every
+    document that survives all filters.
+
+    Physical plan: stages 1–3 FUSE into one embarrassingly parallel
+    ``map_batches`` over one pruned read (the eval hash set broadcast
+    once); stage 4 is the exact-dedup family's single fingerprint-keyed
+    exchange of 40-byte rows; stages 5–6 ride ONE more coarse
+    ``doc_id // part_size`` exchange whose kernel is a sort + grouped
+    cumsum. Two exchanges total, text never leaves the first mapper,
+    every intermediate streams.
+    """
+    from ..functions import text as tx
+    from .text_analysis import _repetition_batch
+
+    P = num_partitions
+    ev1, ev2 = _eval_window_hashes(sf_dir, eval_source, L, seed)
+    ev_ref = ray.put((ev1, ev2))
+
+    def survive(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.not_equal(t["source"], eval_source))
+        texts = [s or "" for s in tt["text"].to_pylist()]
+        rep = _repetition_batch(tt.select(["doc_id", "text"]))
+        keep_q = rep["keep"].to_numpy(zero_copy_only=False) == 1
+        e1, e2 = ray.get(ev_ref)
+        keep_d = _distinct_window_hits(texts, e1, e2, L, seed) == 0
+        keep = keep_q & keep_d
+        sub = tt.filter(pa.array(keep))
+        h1, h2 = tx.content_fingerprint128(
+            [s or "" for s in sub["text"].to_pylist()]
+        )
+        ntok = (
+            pc.count_substring_regex(sub["text"], r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "pkey": pa.array(
+                    (h1.view(np.uint64) % np.uint64(P)).astype(np.int64)
+                ),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "doc_id": sub["doc_id"],
+                "n_tokens": pa.array(ntok),
+            }
+        )
+
+    def dedup_split(g: pd.DataFrame) -> pd.DataFrame:
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        nt = g["n_tokens"].to_numpy()
+        o = np.lexsort((d, h2, h1))
+        h1s, h2s, ds, nts = h1[o], h2[o], d[o], nt[o]
+        new = np.ones(len(o), dtype=bool)
+        new[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        rep = ds[np.flatnonzero(new)][np.cumsum(new) - 1]
+        keep = ds == rep  # min doc_id per fingerprint (lexsort order)
+        ds, nts = ds[keep], nts[keep]
+        bucket = (
+            ds.view(np.uint64) * np.uint64(2654435761)
+        ) % np.uint64(100)
+        split = np.where(
+            bucket < 80, "train", np.where(bucket < 90, "val", "test")
+        )
+        return pd.DataFrame(
+            {
+                "pkey2": (ds // part_size).astype(np.int64),
+                "doc_id": ds,
+                "n_tokens": nts,
+                "split": split,
+            }
+        )
+
+    def shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["split", "doc_id"]).reset_index(drop=True)
+        off = (
+            g.groupby("split")["n_tokens"].cumsum().to_numpy()
+            - g["n_tokens"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "split": g["split"],
+                "tok_offset": off.astype(np.int64),
+                "shard": (off // budget).astype(np.int64),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+            filter=pc.field("source") != eval_source,
+        )
+        .map_batches(survive, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(dedup_split, batch_format="pandas")
+        .groupby("pkey2")
+        .map_groups(shard, batch_format="pandas")
+        .to_pandas()
+    )
+    out = ensure_cols(out, doc_id="int64", n_tokens="int64", split="object",
+                      tok_offset="int64", shard="int64")
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_tokens", "split", "tok_offset", "shard"]
     ]

@@ -80,6 +80,8 @@ CASES = [
     ("embedding_spike_outliers", ["vec_id", "spike_e6", "is_outlier"]),
     ("corpus_diff", ["doc_id", "status"]),
     ("decontaminate_docs_bloom", ["doc_id", "n_hits", "keep"]),
+    ("curate_corpus", ["doc_id", "n_tokens", "split", "tok_offset",
+                       "shard"]),
 ]
 # (customer_region_rollup is absent from CASES because SQL ROLLUP yields
 # ONE grand-total row even on empty input — pinned by its own test below.)

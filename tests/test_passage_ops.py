@@ -406,3 +406,33 @@ def test_coverage_ledger_matches_registry():
             f"ledger row {num} says {name!r} but registry has "
             f"{names[int(num) - 1]!r}"
         )
+
+
+def test_curate_corpus_stage_consistency(ray_session):
+    """The composed curation DAG must agree with its independently
+    verified stage queries: every curated doc passes the Gopher filter
+    and the decontamination filter, is its own exact-dup representative,
+    and carries the leakage-free split of its id; no two curated docs
+    share a text fingerprint."""
+    from entity_deduplication_hack_main_ray.pipelines import (
+        text_analysis as ta2,
+    )
+
+    cur = td.curate_corpus(SF001)
+    gop = ta2.gopher_repetition(SF001).set_index("doc_id")
+    dec = td.decontaminate_docs(SF001).set_index("doc_id")
+    spl = td.leakage_free_split(SF001).set_index("doc_id")
+    for d in cur.doc_id:
+        assert gop.loc[d, "keep"] == 1
+        assert dec.loc[d, "keep"] == 1
+        assert spl.loc[d, "rep_id"] == d  # survivor is its own rep
+    got = cur.set_index("doc_id")["split"]
+    assert (spl.loc[got.index, "split"] == got).all()
+    assert 0 < len(cur) < len(dec)  # every stage filtered something
+    assert set(cur.split.unique()) <= {"train", "val", "test"}
+
+
+def test_curate_corpus_partition_invariant(ray_session):
+    a = td.curate_corpus(SF001, num_partitions=3)
+    b = td.curate_corpus(SF001, num_partitions=64)
+    pd.testing.assert_frame_equal(a, b)
