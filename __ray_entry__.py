@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": text_analysis.doc_fingerprints,
         "audio_frame_features": audio.audio_frame_features,
         "approx_user_counts": relational.approx_user_counts,
+        # approx_price_quantiles: oracle-backed but past the cut (the
+        # 50-slot budget is full at 49 oracles + the minhash rotation
+        # slot); its oracle compare runs every pytest session and in the
+        # validate receipts like the five rotated-out relational queries
+        "approx_price_quantiles": relational.approx_price_quantiles,
         # decontaminate_docs_bloom: Bloom-filter scale path of the
         # hash-green exact decontaminate_docs — approximate by design
         # (one-sided FP; superset-of-exact-drops pinned in pytest)
@@ -1091,6 +1096,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, split, tok_offset,
                    CAST(tok_offset // 256 AS BIGINT) AS shard
             FROM o
+        """,
+        # approx_price_quantiles: exact QUANTILE_DISC over the SAME
+        # deterministic Knuth-mixer 1/8 hash-sample the engine takes —
+        # sample membership is a pure function of o_orderkey, so the
+        # sampled order statistics are exactly reproducible in SQL.
+        "approx_price_quantiles": """
+            WITH c AS (
+              SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc
+              FROM orders
+              WHERE ((CAST(o_orderkey AS HUGEINT) * 2654435761)
+                     % 18446744073709551616) % 8 = 0
+            ), a AS (
+              SELECT QUANTILE_DISC(pc, 0.25) AS v1,
+                     QUANTILE_DISC(pc, 0.5) AS v2,
+                     QUANTILE_DISC(pc, 0.75) AS v3,
+                     QUANTILE_DISC(pc, 0.95) AS v4,
+                     CAST(COUNT(*) AS BIGINT) AS m
+              FROM c
+            )
+            SELECT UNNEST([2500, 5000, 7500, 9500]) AS q_bp,
+                   UNNEST([v1, v2, v3, v4]) AS approx_price_cents,
+                   m AS sample_rows
+            FROM a
         """,
         # record_linkage (T6 RecordLink analog): the right side is derived
         # from customer inside the query (the embedding_near_dup planting

@@ -970,6 +970,59 @@ def order_price_quantiles(
     )
 
 
+def approx_price_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    rate_mod: int = 8,
+) -> pd.DataFrame:
+    """Sampling-based approximate quantiles — the sketch-family sibling of
+    the exact ``order_price_quantiles`` (as HLL is to the exact distinct
+    count): EXACT order statistics of a DETERMINISTIC ``1/rate_mod``
+    hash-sample of the rows. The sample predicate is the Knuth
+    multiplicative mixer already used by the split oracles
+    (``(key * 2654435761) mod 2**64 mod rate_mod == 0``), so membership is
+    a pure function of ``o_orderkey`` — reproducible across runs, block
+    layouts and cluster sizes, and exactly expressible in the DuckDB
+    oracle. Returns ``(q_bp, approx_price_cents, sample_rows)``.
+
+    Accuracy: by Dvoretzky-Kiefer-Wolfowitz the sampled q-quantile's true
+    rank lies within ``q ± sqrt(ln(2/delta)/(2m))`` with prob 1-delta —
+    pytest-pinned against the exact sibling. At 10^12 rows the scan still
+    reads every row group (the filter is on a computed hash), but the
+    quantile machinery downstream — histogram, bucket fetch — touches
+    only 1/rate_mod of the data, and the whole pipeline stays the shared
+    ``exact_quantiles_int64`` O(buckets)-exchange plan.
+    """
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def sampled_cents(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (k.view(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            rate_mod
+        )
+        keep = bucket == 0
+        pc_ = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)[keep] * 100
+        ).astype(np.int64)
+        return pa.table({"price_cents": pa.array(pc_)})
+
+    # materialize the sampled 8-byte rows once: count + the helper's three
+    # passes reuse the same blocks instead of re-reading orders four times
+    col = ds.map_batches(sampled_cents, batch_format="pyarrow").materialize()
+    n = col.count()
+    vals = exact_quantiles_int64(col, "price_cents", qs)
+    if vals is None:
+        return typed_empty(q_bp="int64", approx_price_cents="int64",
+                           sample_rows="int64")
+    return pd.DataFrame(
+        {
+            "q_bp": [int(round(q * 10000)) for q in qs],
+            "approx_price_cents": vals,
+            "sample_rows": np.int64(n),
+        }
+    )
+
+
 def brand_part_stats(sf_dir: str) -> pd.DataFrame:
     """Grouped stats over the ``part`` table: count + retail-price cents sum
     per brand (A4/A7 over the remaining dimension table)."""

@@ -43,6 +43,8 @@ CASES = [
     ("event_user_counts", ["event_type", "n_users", "n_events"]),
     ("approx_user_counts", ["event_type", "approx_users"]),
     ("order_price_quantiles", ["q_bp", "price_cents"]),
+    ("approx_price_quantiles", ["q_bp", "approx_price_cents",
+                                "sample_rows"]),
     ("substring_dedup_docs", ["doc_id", "cluster_id"]),
     ("leakage_free_split", ["doc_id", "rep_id", "split"]),
     ("decontaminate_docs", ["doc_id", "n_hits", "keep"]),

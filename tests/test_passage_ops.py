@@ -436,3 +436,32 @@ def test_curate_corpus_partition_invariant(ray_session):
     a = td.curate_corpus(SF001, num_partitions=3)
     b = td.curate_corpus(SF001, num_partitions=64)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_approx_price_quantiles_dkw_bound(ray_session):
+    """The hash-sampled quantile's TRUE rank must lie within the DKW band
+    q +/- sqrt(ln(2/delta)/(2m)) (delta = 1e-6) of the full data —
+    checked against the exact full-data CDF in DuckDB. Deterministic
+    across runs by construction (pure function of o_orderkey)."""
+    import duckdb
+
+    from entity_deduplication_hack_main_ray.pipelines import relational
+
+    out = relational.approx_price_quantiles(SF001)
+    m = int(out["sample_rows"].iloc[0])
+    eps = float(np.sqrt(np.log(2 / 1e-6) / (2 * m)))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF001}/orders.parquet')"
+    )
+    for _, row in out.iterrows():
+        q = row["q_bp"] / 10000.0
+        rank = con.execute(
+            "SELECT AVG(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) <= ? "
+            "AS DOUBLE)) FROM orders",
+            [int(row["approx_price_cents"])],
+        ).fetchone()[0]
+        assert q - eps <= rank <= q + eps, (q, rank, eps)
+    out2 = relational.approx_price_quantiles(SF001)
+    pd.testing.assert_frame_equal(out, out2)
