@@ -1781,12 +1781,12 @@ def _eval_window_hashes(
     return e1, e2
 
 
-def _distinct_window_hits(
-    texts: list[str], ev1: np.ndarray, ev2: np.ndarray, L: int, seed: int
-) -> np.ndarray:
-    """Per-text count of DISTINCT L-char windows present in the sorted
-    eval hash set — the probe kernel shared by ``decontaminate_docs`` and
-    ``curate_corpus`` (vectorized binary search, no exchange)."""
+def _distinct_windows(
+    texts: list[str], L: int, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-text DISTINCT L-char window hashes as (doc_index, h1, h2) —
+    the shared front half of every decontamination probe (exact sorted-
+    hash membership AND the Bloom bit-test consume the same rows)."""
     from ..functions.hashing import char_ngram_hash2_stream
 
     h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
@@ -1799,7 +1799,16 @@ def _distinct_window_hits(
         first[1:] = (
             (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         )
-    d, a, b = d[first], a[first], b[first]
+    return d[first], a[first], b[first]
+
+
+def _distinct_window_hits(
+    texts: list[str], ev1: np.ndarray, ev2: np.ndarray, L: int, seed: int
+) -> np.ndarray:
+    """Per-text count of DISTINCT L-char windows present in the sorted
+    eval hash set — the probe kernel shared by ``decontaminate_docs`` and
+    ``curate_corpus`` (vectorized binary search, no exchange)."""
+    d, a, b = _distinct_windows(texts, L, seed)
     hit = _member128(a, b, ev1, ev2)
     return np.bincount(d[hit], minlength=len(texts)).astype(np.int64)
 
@@ -2031,19 +2040,9 @@ def decontaminate_docs_bloom(
         tt = t.filter(pc.not_equal(t["source"], eval_source))
         bw = ray.get(bits_ref)
         texts = [s or "" for s in tt["text"].to_pylist()]
-        h1, h2, offsets = char_ngram_hash2_stream(texts, L, seed)
-        cnt = np.diff(offsets)
-        doc_idx = np.repeat(np.arange(len(texts)), cnt)
-        # per-doc distinct windows (mirrors the exact sibling's n_hits
-        # contract: count DISTINCT leaked windows)
-        order = np.lexsort((h2, h1, doc_idx))
-        d, a, b = doc_idx[order], h1[order], h2[order]
-        first = np.ones(len(d), dtype=bool)
-        if len(d) > 1:
-            first[1:] = (
-                (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-            )
-        d, a, b = d[first], a[first], b[first]
+        # per-doc distinct windows (the exact sibling's n_hits contract),
+        # via the SAME kernel decontaminate_docs uses
+        d, a, b = _distinct_windows(texts, L, seed)
         if len(d):
             pos = _bloom_positions(a, b, m_bits, k)
             probe_bits = (
@@ -2103,8 +2102,11 @@ def curate_corpus(
     3. eval decontamination (`decontaminate_docs`' broadcast probe);
     4. exact dedup — keep the min doc_id per exact text among survivors
        (`_fp128` contract: 128-bit fingerprints, text never shuffles);
-    5. leakage-free split (`leakage_free_split`'s Knuth mixer on the
-       representative id — survivors ARE their groups' representatives);
+    5. leakage-free split (`leakage_free_split`'s Knuth mixer applied to
+       the survivor's id — each survivor is the minimum doc_id of its
+       exact-text group AMONG CURATED DOCUMENTS; an eval-source duplicate
+       with a smaller id does not anchor the split, since eval docs carry
+       no split at all);
     6. token-offset sharding within (split, doc_id-range) partitions
        (`pack_token_shards`' rule per split).
 
